@@ -1,0 +1,299 @@
+"""Collective Matrix Factorization estimator (sklearn-style API).
+
+API parity with the reference (SURVEY.md §1 layer map; BASELINE.json
+north_star: "sklearn-style estimator ... fit/transform/fit_transform API
+parity"): ``CMF(n_components=k, ...)`` jointly factors
+
+    X ≈ f_x(U Vᵀ)   (X: n×m)
+    Y ≈ f_y(V Zᵀ)   (Y: m×r, optional)
+
+with a shared V, optional non-negativity per factor, elastic-net
+regularization, two solvers ('mu' | 'newton'), linear/sigmoid links,
+stochastic column subsampling for Newton, and seeded or externally-supplied
+initialization (the 1e-5 parity mechanism).
+
+The estimator is a NumPy-in/NumPy-out shell: validation and initialization
+run on the host, the solver loop is a pure jitted function on the TPU
+(SURVEY.md §7 design stance). Multi-chip runs are a property of the arrays,
+not the algorithm: pass ``n_shards`` to row-shard the data over a 1-D device
+mesh with psum of the shared-V terms (BASELINE.json config #5).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from sklearn.base import BaseEstimator, TransformerMixin
+
+from ..ops.losses import reconstruction_rmse, total_loss
+from ..solvers.common import SolverConfig, make_hyper
+from ..solvers.mu import run_mu
+from ..solvers.newton import run_newton
+from ..utils.init import initialize_factors
+from ..utils.validation import as_coupled, check_matrix, validate_cmf_params
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+class CMF(BaseEstimator, TransformerMixin):
+    """Collective Matrix Factorization on TPU.
+
+    Parameters (reference-compatible surface, SURVEY.md §1)
+    ----------
+    n_components : int — rank k of the factorization.
+    solver : 'mu' | 'newton'.
+    alpha, l1_ratio : elastic-net regularization (sklearn-NMF-style).
+    tol, max_iter : relative-decrease stopping rule (SURVEY.md §0).
+    x_link, y_link : 'linear' | 'sigmoid' residual links.
+    U_non_negative, V_non_negative, Z_non_negative : constraint flags.
+    sg_sample_ratio : Newton stochastic column-subsample ratio.
+    hessian_pertubation : Newton diagonal damping (reference spelling).
+    x_init, y_init : 'random' | 'svd' | 'nndsvd' | 'nndsvda' | 'nndsvdar'.
+    random_state, verbose : usual sklearn semantics.
+
+    TPU-build extensions
+    --------------------
+    dtype : 'float32' (default) | 'float64' (needs jax_enable_x64) | 'bfloat16'.
+    eval_every : iterations between on-host loss/tol checks (jitted block size).
+    use_pallas : route hot ops through the Pallas kernels.
+    hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
+    line_search_trials : backtracking halvings (0 = full Newton step).
+    n_shards : row-shard data over this many devices (None = single-chip).
+    shard_layout : 'rows' (shard n; default) | 'cols' (shard m) — SURVEY.md §7
+        layouts A and B.
+
+    Attributes
+    ----------
+    U_, V_, Z_ : fitted factors (NumPy).
+    reconstruction_err_ : final objective value L(U, V, Z).
+    n_iter_ : iterations run.
+    loss_history_, loss_iters_, step_times_ : per-eval fit history
+        (SURVEY.md §5 metrics/observability).
+    """
+
+    def __init__(self, n_components=None, solver="mu", alpha=0.0,
+                 l1_ratio=0.0, tol=1e-4, max_iter=200, random_state=None,
+                 verbose=0, U_non_negative=True, V_non_negative=True,
+                 Z_non_negative=True, x_link="linear", y_link="linear",
+                 x_init="random", y_init="random", hessian_pertubation=0.2,
+                 sg_sample_ratio=1.0, eps=1e-10, dtype="float32",
+                 eval_every=10, use_pallas=False, hessian_form="gauss",
+                 line_search_trials=8, n_shards=None, shard_layout="rows"):
+        self.n_components = n_components
+        self.solver = solver
+        self.alpha = alpha
+        self.l1_ratio = l1_ratio
+        self.tol = tol
+        self.max_iter = max_iter
+        self.random_state = random_state
+        self.verbose = verbose
+        self.U_non_negative = U_non_negative
+        self.V_non_negative = V_non_negative
+        self.Z_non_negative = Z_non_negative
+        self.x_link = x_link
+        self.y_link = y_link
+        self.x_init = x_init
+        self.y_init = y_init
+        self.hessian_pertubation = hessian_pertubation
+        self.sg_sample_ratio = sg_sample_ratio
+        self.eps = eps
+        self.dtype = dtype
+        self.eval_every = eval_every
+        self.use_pallas = use_pallas
+        self.hessian_form = hessian_form
+        self.line_search_trials = line_search_trials
+        self.n_shards = n_shards
+        self.shard_layout = shard_layout
+
+    # -- internals --------------------------------------------------------
+
+    def _resolve_dtype(self):
+        dt = self.dtype
+        if isinstance(dt, str):
+            if dt not in _DTYPES:
+                raise ValueError(f"dtype must be one of {list(_DTYPES)}")
+            dt = _DTYPES[dt]
+        if dt == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype='float64' requires jax_enable_x64; call "
+                "jax.config.update('jax_enable_x64', True) first")
+        return dt
+
+    def _config(self, has_Y, update_U=True, update_V=True, update_Z=True):
+        return SolverConfig(
+            x_link=self.x_link, y_link=self.y_link,
+            U_non_negative=self.U_non_negative,
+            V_non_negative=self.V_non_negative,
+            Z_non_negative=self.Z_non_negative,
+            update_U=update_U, update_V=update_V, update_Z=update_Z,
+            has_Y=has_Y, hessian_form=self.hessian_form,
+            line_search_trials=self.line_search_trials,
+            sg_sample_ratio=self.sg_sample_ratio,
+            use_pallas=self.use_pallas,
+        )
+
+    def _validate(self, X, Y):
+        validate_cmf_params(
+            n_components=self.n_components, solver=self.solver,
+            x_link=self.x_link, y_link=self.y_link,
+            U_non_negative=self.U_non_negative,
+            V_non_negative=self.V_non_negative,
+            Z_non_negative=self.Z_non_negative, alpha=self.alpha,
+            l1_ratio=self.l1_ratio, tol=self.tol, max_iter=self.max_iter,
+            sg_sample_ratio=self.sg_sample_ratio)
+        mu = self.solver == "mu"
+        X = check_matrix(X, "X", require_non_negative=mu)
+        if Y is not None:
+            Y = check_matrix(Y, "Y", require_non_negative=mu)
+        if self.solver == "newton":
+            if sp.issparse(X) and self.x_link == "sigmoid":
+                raise NotImplementedError(
+                    "Newton with sparse X requires x_link='linear'")
+            if Y is not None and sp.issparse(Y) and self.y_link == "sigmoid":
+                raise NotImplementedError(
+                    "Newton with sparse Y requires y_link='linear'")
+        return X, Y
+
+    def _run(self, Xc, Yc, U0, V0, Z0, cfg, rng):
+        hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
+                           self.hessian_pertubation, dtype=U0.dtype)
+        kw = dict(max_iter=self.max_iter, tol=self.tol,
+                  eval_every=self.eval_every, verbose=self.verbose)
+        if self.n_shards is not None and self.n_shards > 1:
+            from ..parallel.sharded import run_sharded
+
+            return run_sharded(self.solver, Xc, Yc, U0, V0, Z0, cfg, hyper,
+                               rng, n_shards=self.n_shards,
+                               layout=self.shard_layout, **kw)
+        if self.solver == "mu":
+            return run_mu(Xc, Yc, U0, V0, Z0, cfg, hyper, **kw)
+        return run_newton(Xc, Yc, U0, V0, Z0, cfg, hyper, rng, **kw)
+
+    # -- public API (reference parity) -------------------------------------
+
+    def fit_transform(self, X, Y=None, U=None, V=None, Z=None):
+        """Fit the model to (X, Y) and return the factors (U, V, Z).
+
+        U/V/Z, when given, are used as the initial factors — the parity /
+        warm-start / resume mechanism (SURVEY.md §0 "Initialization",
+        §5 checkpoint row).
+        """
+        X, Y = self._validate(X, Y)
+        if self.n_components is None:
+            raise ValueError("n_components must be set")
+        k = int(self.n_components)
+
+        U0, V0, Z0 = initialize_factors(
+            X, Y, k, x_init=self.x_init, y_init=self.y_init,
+            U_non_negative=self.U_non_negative,
+            V_non_negative=self.V_non_negative,
+            Z_non_negative=self.Z_non_negative,
+            random_state=self.random_state, U=U, V=V, Z=Z)
+
+        dt = self._resolve_dtype()
+        Xc = as_coupled(X, dt)
+        Yc = as_coupled(Y, dt) if Y is not None else None
+        U0 = jnp.asarray(U0, dtype=dt)
+        V0 = jnp.asarray(V0, dtype=dt)
+        Z0 = jnp.asarray(Z0, dtype=dt) if Z0 is not None else \
+            jnp.zeros((0, k), dtype=dt)
+
+        cfg = self._config(has_Y=Y is not None)
+        seed = self.random_state if isinstance(self.random_state, int) else 0
+        rng = jax.random.PRNGKey(seed)
+
+        Uf, Vf, Zf, n_iter, losses, iters, times = self._run(
+            Xc, Yc, U0, V0, Z0, cfg, rng)
+
+        self.U_ = np.asarray(jax.device_get(Uf), dtype=np.float64)
+        self.V_ = np.asarray(jax.device_get(Vf), dtype=np.float64)
+        self.Z_ = (np.asarray(jax.device_get(Zf), dtype=np.float64)
+                   if Y is not None else None)
+        self.n_iter_ = int(n_iter)
+        self.loss_history_ = [float(v) for v in losses]
+        self.loss_iters_ = list(iters)
+        self.step_times_ = list(times)
+        self.reconstruction_err_ = self.loss_history_[-1]
+        self.n_components_ = k
+        return self.U_, self.V_, self.Z_
+
+    def fit(self, X, Y=None, **params):
+        """Fit and return self (delegates to fit_transform, SURVEY.md §3.2)."""
+        self.fit_transform(X, Y, **params)
+        return self
+
+    def transform(self, X, U=None):
+        """Fold-in: solve for U on new rows of X holding the fitted V fixed
+        (SURVEY.md §3.3: same solver machinery with V, Z frozen)."""
+        if not hasattr(self, "V_"):
+            raise RuntimeError("transform called before fit")
+        mu = self.solver == "mu"
+        X = check_matrix(X, "X", require_non_negative=mu)
+        n, m = X.shape
+        if m != self.V_.shape[0]:
+            raise ValueError(
+                f"X has {m} columns; fitted V expects {self.V_.shape[0]}")
+        k = self.n_components_
+        dt = self._resolve_dtype()
+
+        if U is None:
+            rng_np = np.random.RandomState(
+                self.random_state if isinstance(self.random_state, int) else None)
+            mean = float(X.mean())
+            avg = np.sqrt(max(abs(mean), 1e-12) / k)
+            U0 = avg * rng_np.standard_normal((n, k))
+            if self.U_non_negative:
+                np.abs(U0, out=U0)
+        else:
+            U0 = np.asarray(U, dtype=np.float64)
+
+        Xc = as_coupled(X, dt)
+        V0 = jnp.asarray(self.V_, dtype=dt)
+        U0 = jnp.asarray(U0, dtype=dt)
+        Z0 = jnp.zeros((0, k), dtype=dt)
+        cfg = self._config(has_Y=False, update_U=True, update_V=False,
+                           update_Z=False)
+        hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
+                           self.hessian_pertubation, dtype=dt)
+        rng = jax.random.PRNGKey(
+            self.random_state if isinstance(self.random_state, int) else 0)
+        kw = dict(max_iter=self.max_iter, tol=self.tol,
+                  eval_every=self.eval_every, verbose=self.verbose)
+        if self.solver == "mu":
+            Uf, _, _, _, _, _, _ = run_mu(Xc, None, U0, V0, Z0, cfg, hyper,
+                                          **kw)
+        else:
+            Uf, _, _, _, _, _, _ = run_newton(Xc, None, U0, V0, Z0, cfg,
+                                              hyper, rng, **kw)
+        return np.asarray(jax.device_get(Uf), dtype=np.float64)
+
+    # -- analysis helpers (SURVEY.md §2 component 5, §3.5) -----------------
+
+    def print_topic_terms(self, vectorizer=None, vocabulary=None,
+                          factor="U", n_top_words=10, file=None):
+        """Print the top-weighted terms per component.
+
+        In the 20NG supervised-topics orientation (X = term×document,
+        Y = document×label; SURVEY.md §0 flagship use case mapped onto the
+        X≈UVᵀ/Y≈VZᵀ contract) the term factor is U; pass factor='V' if your
+        vocabulary indexes X's columns instead.
+        """
+        from ..utils.analysis import topic_terms_string
+
+        M = {"U": getattr(self, "U_", None),
+             "V": getattr(self, "V_", None),
+             "Z": getattr(self, "Z_", None)}[factor]
+        if M is None:
+            raise RuntimeError("model is not fitted (or factor is absent)")
+        s = topic_terms_string(M, vectorizer=vectorizer,
+                               vocabulary=vocabulary,
+                               n_top_words=n_top_words)
+        print(s, file=file)
+        return s

@@ -1,0 +1,158 @@
+"""CMF objective evaluation.
+
+Objective (SURVEY.md §0, binding for parity):
+
+    L(U,V,Z) = ½‖X − f_x(U Vᵀ)‖²_F + ½‖Y − f_y(V Zᵀ)‖²_F + R(U)+R(V)+R(Z)
+    R(M)     = alpha · ( l1_ratio·‖M‖₁ + ½(1−l1_ratio)·‖M‖²_F )
+
+Design notes (TPU-first, not a port):
+- linear-link terms are evaluated via the factored Frobenius identity
+  ‖A − M Bᵀ‖² = ‖A‖² − 2⟨A, M Bᵀ⟩ + tr((MᵀM)(BᵀB)); for CSR A the inner
+  product is an SDDMM over nonzeros, so the n×m residual is never
+  materialized (SURVEY.md §3.4).
+- sigmoid-link terms need the elementwise link, so they stream over row
+  blocks of the product (static block count under jit) instead of
+  materializing p×q when large.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .links import LINEAR, apply_link
+from .matmul import gram, matmul
+from .sparse import CsrMatrix, is_sparse, sddmm_dot
+
+# Above this many elements, sigmoid-link residuals stream over row blocks.
+_BLOCK_ELEMS = 1 << 24
+
+
+def penalty(M: jnp.ndarray, alpha, l1_ratio) -> jnp.ndarray:
+    """R(M) — sklearn-NMF-style elastic-net penalty (SURVEY.md §0)."""
+    l1 = alpha * l1_ratio
+    l2 = alpha * (1.0 - l1_ratio)
+    return l1 * jnp.sum(jnp.abs(M)) + 0.5 * l2 * jnp.sum(M * M)
+
+
+def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR)."""
+    cross = jnp.sum(gram(M) * gram(B))
+    if is_sparse(A):
+        a_sq = A.sq_norm
+        inner = sddmm_dot(A, M, B)
+    else:
+        a_sq = jnp.sum(A * A)
+        inner = jnp.sum(matmul(A, B) * M)
+    return 0.5 * (a_sq - 2.0 * inner + cross)
+
+
+def _sigmoid_sq_sum(M: jnp.ndarray, B: jnp.ndarray,
+                    row_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Σ_ij σ(M Bᵀ)²_ij, streaming over row blocks when large."""
+    p, _ = M.shape
+    q = B.shape[0]
+    if p * q <= _BLOCK_ELEMS:
+        s = jax.nn.sigmoid(matmul(M, B.T))
+        if row_mask is not None:
+            return jnp.sum(row_mask * jnp.sum(s * s, axis=1))
+        return jnp.sum(s * s)
+
+    bs = max(1, _BLOCK_ELEMS // q)
+    nb = -(-p // bs)
+    pad = nb * bs - p
+    Mp = jnp.pad(M, ((0, pad), (0, 0)))
+    mask = jnp.pad(
+        jnp.ones((p,), M.dtype) if row_mask is None else row_mask,
+        (0, pad),
+    )
+
+    def body(carry, inp):
+        Mb, wb = inp
+        s = jax.nn.sigmoid(matmul(Mb, B.T))
+        return carry + jnp.sum(wb * jnp.sum(s * s, axis=1)), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), M.dtype),
+        (Mp.reshape(nb, bs, -1), mask.reshape(nb, bs)),
+    )
+    return total
+
+
+def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
+                  row_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """½‖A − σ(M Bᵀ)‖² (A dense or CSR).
+
+    For CSR A:  ‖A − S‖² = Σ S² + Σ_nnz (a² − 2 a·S)  where S = σ(M Bᵀ);
+    only Σ S² needs the dense product, and it streams in blocks.
+    """
+    if is_sparse(A):
+        s_sq = _sigmoid_sq_sum(M, B, row_mask)
+        e = jnp.sum(M[A.row_ids] * B[A.indices], axis=1)
+        s_at_nnz = jax.nn.sigmoid(e)
+        if row_mask is not None:
+            w = row_mask[A.row_ids]
+            nnz_part = jnp.sum(w * (A.data * A.data - 2.0 * A.data * s_at_nnz))
+        else:
+            nnz_part = A.sq_norm - 2.0 * jnp.dot(A.data, s_at_nnz)
+        return 0.5 * (s_sq + nnz_part)
+
+    p, q = A.shape
+    if p * q <= _BLOCK_ELEMS:
+        r = A - jax.nn.sigmoid(matmul(M, B.T))
+        if row_mask is not None:
+            return 0.5 * jnp.sum(row_mask * jnp.sum(r * r, axis=1))
+        return 0.5 * jnp.sum(r * r)
+
+    bs = max(1, _BLOCK_ELEMS // q)
+    nb = -(-p // bs)
+    pad = nb * bs - p
+    Ap = jnp.pad(A, ((0, pad), (0, 0)))
+    Mp = jnp.pad(M, ((0, pad), (0, 0)))
+    mask = jnp.pad(
+        jnp.ones((p,), M.dtype) if row_mask is None else row_mask,
+        (0, pad),
+    )
+
+    def body(carry, inp):
+        Ab, Mb, wb = inp
+        r = Ab - jax.nn.sigmoid(matmul(Mb, B.T))
+        return carry + 0.5 * jnp.sum(wb * jnp.sum(r * r, axis=1)), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), M.dtype),
+        (Ap.reshape(nb, bs, -1), Mp.reshape(nb, bs, -1), mask.reshape(nb, bs)),
+    )
+    return total
+
+
+def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
+                        row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """½‖A − f(M Bᵀ)‖²_F for one coupled matrix.
+
+    row_mask (optional, dense/sigmoid paths): per-row weights, used by the
+    sharded runner to zero out padding rows (linear terms with zero-padded
+    A and M contribute exactly 0 and need no mask).
+    """
+    if link == LINEAR:
+        return _linear_term(A, M, B)
+    return _sigmoid_term(A, M, B, row_mask)
+
+
+def total_loss(X, Y, U, V, Z, x_link: str, y_link: str, alpha, l1_ratio,
+               x_row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full CMF objective L(U, V, Z). Y may be None (single-matrix / NMF)."""
+    loss = reconstruction_term(X, U, V, x_link, x_row_mask)
+    loss = loss + penalty(U, alpha, l1_ratio) + penalty(V, alpha, l1_ratio)
+    if Y is not None:
+        loss = loss + reconstruction_term(Y, V, Z, y_link)
+        loss = loss + penalty(Z, alpha, l1_ratio)
+    return loss
+
+
+def reconstruction_rmse(A, M, B, link: str) -> jnp.ndarray:
+    """RMSE of A − f(M Bᵀ) over all p·q entries (benchmark parity metric)."""
+    p, q = A.shape
+    sq = 2.0 * reconstruction_term(A, M, B, link)
+    return jnp.sqrt(sq / (p * q))

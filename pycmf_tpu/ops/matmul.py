@@ -1,0 +1,38 @@
+"""Precision-controlled dense matmul helper.
+
+On TPU, float32 matmuls default to reduced-precision MXU passes. The CMF
+solvers' matmuls are small and HBM-bandwidth-bound (SURVEY.md §3.1 hot spots),
+so running them at Precision.HIGHEST costs ~nothing while keeping the loss
+trajectory close to the float64 reference (SURVEY.md §7 "hard parts" #1).
+A module-level default can be overridden per-call or via set_default_precision.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+_NAMES = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def set_default_precision(p) -> None:
+    global _PRECISION
+    _PRECISION = _NAMES.get(p, p)
+
+
+def get_default_precision():
+    return _PRECISION
+
+
+def matmul(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=precision or _PRECISION)
+
+
+def gram(m: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """mᵀ m (k×k) — the tiny Gram matrices at the heart of the MU rules."""
+    return jnp.matmul(m.T, m, precision=precision or _PRECISION)

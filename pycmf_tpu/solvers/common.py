@@ -1,0 +1,147 @@
+"""Shared solver machinery: static config, traced hyperparams, host loop.
+
+Design stance (SURVEY.md §7): a solver is a pure jitted step
+``(X, Y, U, V, Z, hyper) → (U, V, Z)`` driven by a thin host loop that checks
+tolerance every ``eval_every`` iterations. The static part of the
+configuration (links, constraint flags, update masks, sampling sizes) lives in
+a frozen, hashable dataclass so jit caches compilations across fits; numeric
+hyperparameters are traced scalars so changing alpha/tol never recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.links import LINEAR, check_link
+from ..ops.matmul import matmul
+from ..ops.sparse import CsrMatrix, is_sparse, spmm
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static (hashable) solver configuration.
+
+    Mirrors the reference's constructor surface (SURVEY.md §1 layer map) plus
+    TPU-build extensions (use_pallas, hessian_form, line_search_trials).
+    """
+
+    x_link: str = LINEAR
+    y_link: str = LINEAR
+    U_non_negative: bool = True
+    V_non_negative: bool = True
+    Z_non_negative: bool = True
+    update_U: bool = True
+    update_V: bool = True
+    update_Z: bool = True
+    has_Y: bool = True
+    # Newton-specific (SURVEY.md §0 "Newton update")
+    hessian_form: str = "gauss"  # 'gauss' | 'full'
+    line_search_trials: int = 8
+    sg_sample_ratio: float = 1.0
+    # TPU build knobs
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        check_link(self.x_link)
+        check_link(self.y_link)
+        if self.hessian_form not in ("gauss", "full"):
+            raise ValueError("hessian_form must be 'gauss' or 'full'")
+        if not (0.0 < self.sg_sample_ratio <= 1.0):
+            raise ValueError("sg_sample_ratio must be in (0, 1]")
+
+
+class Hyper(NamedTuple):
+    """Traced numeric hyperparameters (a pytree of scalars)."""
+
+    alpha: Any
+    l1_ratio: Any
+    eps: Any
+    hessian_pertubation: Any  # reference's spelling (SURVEY.md §0 note b)
+
+
+def make_hyper(alpha=0.0, l1_ratio=0.0, eps=1e-10, hessian_pertubation=0.2,
+               dtype=jnp.float32) -> Hyper:
+    c = lambda v: jnp.asarray(v, dtype=dtype)
+    return Hyper(c(alpha), c(l1_ratio), c(eps), c(hessian_pertubation))
+
+
+class Coupled(NamedTuple):
+    """A data matrix plus (for CSR) its precomputed transpose.
+
+    Dense matrices carry ``At=None`` — XLA contracts transposed operands
+    natively via dot_general, no materialization needed. CSR transposes are
+    built once on the host at fit time (sparsity is iteration-invariant).
+    """
+
+    A: Any
+    At: Any = None
+
+
+def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
+               use_pallas: bool = False) -> jnp.ndarray:
+    """C.A @ B (or C.Aᵀ @ B) for dense or CSR operands."""
+    if is_sparse(C.A):
+        mat = C.At if transpose else C.A
+        if use_pallas:
+            from ..ops.pallas.spmm import spmm_pallas
+
+            return spmm_pallas(mat, B)
+        return spmm(mat, B)
+    a = C.A.T if transpose else C.A
+    return matmul(a, B)
+
+
+class FitResult(NamedTuple):
+    U: Any
+    V: Any
+    Z: Any
+    n_iter: int
+    loss_history: List[float]      # loss at init + after each eval point
+    loss_iters: List[int]          # iteration number of each history entry
+    step_times: List[float]        # host wall-time per jitted block
+
+
+def run_solver_loop(block_fn, state, hyper, rng, *, max_iter: int, tol: float,
+                    eval_every: int, verbose: int = 0,
+                    initial_loss_fn=None) -> tuple:
+    """Generic host loop: jitted blocks of ``eval_every`` iterations with a
+    relative-decrease stopping rule (SURVEY.md §0 "Convergence"):
+
+        stop when (L_prev − L) / L_init < tol
+    """
+    eval_every = max(1, min(eval_every, max_iter))
+    loss_history: List[float] = []
+    loss_iters: List[int] = []
+    step_times: List[float] = []
+
+    if initial_loss_fn is not None:
+        loss_init = float(initial_loss_fn(state, hyper))
+        loss_history.append(loss_init)
+        loss_iters.append(0)
+    else:
+        loss_init = None
+
+    prev_loss = loss_init
+    n_iter = 0
+    while n_iter < max_iter:
+        n_steps = min(eval_every, max_iter - n_iter)
+        t0 = time.perf_counter()
+        state, loss, rng = block_fn(state, hyper, rng, n_steps)
+        loss = float(loss)
+        step_times.append(time.perf_counter() - t0)
+        n_iter += n_steps
+        loss_history.append(loss)
+        loss_iters.append(n_iter)
+        if verbose:
+            print(f"[pycmf_tpu] iter {n_iter:5d}  loss {loss:.8g}")
+        if loss_init is None:
+            loss_init = loss_history[0]
+        if prev_loss is not None and loss_init > 0:
+            if (prev_loss - loss) / loss_init < tol:
+                break
+        prev_loss = loss
+    return state, n_iter, loss_history, loss_iters, step_times

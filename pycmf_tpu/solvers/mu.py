@@ -1,0 +1,122 @@
+"""Multiplicative-update (MU) solver, TPU-first.
+
+Lee–Seung multiplicative updates generalized to the shared factor V
+(SURVEY.md §0 "MU update rules", binding):
+
+    U ← U ⊙ (X V)        ⊘ (U (VᵀV)        + l1 + l2·U + ε)
+    Z ← Z ⊙ (Yᵀ V)       ⊘ (Z (VᵀV)        + l1 + l2·Z + ε)
+    V ← V ⊙ (Xᵀ U + Y Z) ⊘ (V (UᵀU + ZᵀZ) + l1 + l2·V + ε)
+
+with l1 = alpha·l1_ratio, l2 = alpha·(1−l1_ratio) (sklearn-NMF-style
+regularized denominators). Update order is pinned to U → Z → V
+(SURVEY.md §7 hard part #4: ordering changes trajectories; this is the
+assumed reference order until parity goldens say otherwise).
+
+TPU design: one iteration is six large matmuls plus elementwise ratio
+updates — pure MXU work. The big SpMM/matmuls run through XLA (or the Pallas
+tiled SpMM for CSR); the per-factor "Gram-matmul + ratio" tail is fused into
+a single Pallas pass over factor tiles when ``use_pallas`` is on
+(BASELINE.json north_star: "numerator/denominator matmuls plus the
+elementwise ratio update in one pass over HBM-resident factor tiles").
+Linear link only; all factors non-negative (validated by the estimator, as
+in the reference).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import total_loss
+from ..ops.matmul import gram, matmul
+from .common import Coupled, Hyper, SolverConfig, coupled_mm, run_solver_loop
+
+
+def mu_ratio_update(M, S, num, l1, l2, eps, use_pallas: bool = False):
+    """M ⊙ num ⊘ (M S + l1 + l2·M + ε) — the fused MU tail.
+
+    S is the k×k Gram matrix; the Pallas kernel streams row tiles of M/num
+    and performs the (tile×k)·(k×k) MXU matmul and the VPU ratio in one pass,
+    never materializing M S in HBM.
+    """
+    if use_pallas:
+        from ..ops.pallas.mu_update import fused_mu_update
+
+        return fused_mu_update(M, S, num, l1, l2, eps)
+    return M * num / (matmul(M, S) + l1 + l2 * M + eps)
+
+
+@lru_cache(maxsize=None)
+def make_mu_step(cfg: SolverConfig):
+    """Build the pure jitted MU step for a static config."""
+
+    def step(X: Coupled, Y, U, V, Z, hyper: Hyper):
+        l1 = hyper.alpha * hyper.l1_ratio
+        l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+        eps = hyper.eps
+        up = cfg.use_pallas
+
+        if cfg.update_U:
+            VtV = gram(V)
+            num = coupled_mm(X, V, use_pallas=up)
+            U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+        if cfg.has_Y and cfg.update_Z:
+            VtV = gram(V)
+            num = coupled_mm(Y, V, transpose=True, use_pallas=up)
+            Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+        if cfg.update_V:
+            num = coupled_mm(X, U, transpose=True, use_pallas=up)
+            S = gram(U)
+            if cfg.has_Y:
+                num = num + coupled_mm(Y, Z, use_pallas=up)
+                S = S + gram(Z)
+            V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+        return U, V, Z
+
+    return step
+
+
+@lru_cache(maxsize=None)
+def _make_loss(cfg: SolverConfig):
+    @jax.jit
+    def loss_fn(state, hyper: Hyper):
+        X, Y, U, V, Z = state
+        YA = Y.A if cfg.has_Y else None
+        return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
+                          hyper.alpha, hyper.l1_ratio)
+
+    return loss_fn
+
+
+@lru_cache(maxsize=None)
+def _make_block(cfg: SolverConfig):
+    step = make_mu_step(cfg)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def block(state, hyper: Hyper, rng, n_steps: int):
+        X, Y, U, V, Z = state
+
+        def body(_, fac):
+            return step(X, Y, *fac, hyper)
+
+        U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
+        loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
+        return (X, Y, U, V, Z), loss, rng
+
+    return block
+
+
+def run_mu(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
+           max_iter: int = 200, tol: float = 1e-4, eval_every: int = 10,
+           verbose: int = 0):
+    """Host loop for the MU solver. Returns (U, V, Z, n_iter, history...)."""
+    block = _make_block(cfg)
+    loss_fn = _make_loss(cfg)
+    state = (X, Y, U0, V0, Z0)
+    state, n_iter, losses, iters, times = run_solver_loop(
+        block, state, hyper, rng=None, max_iter=max_iter, tol=tol,
+        eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn,
+    )
+    _, _, U, V, Z = state
+    return U, V, Z, n_iter, losses, iters, times

@@ -1,0 +1,322 @@
+"""Batched row-wise Newton solver, TPU-first.
+
+The reference's Newton solver iterates rows in Python/numba
+(SURVEY.md §3.1: "per iteration, per factor, per row"). On TPU that
+serialization is exactly what we remove: all rows of a factor are updated at
+once — gradients and k×k Gauss-Newton Hessians are built with batched
+matmuls/einsums on the MXU, the stacked k×k systems are solved in one batched
+solve, and the backtracking line search runs as a fixed number of masked
+trials evaluated for every row in parallel (BASELINE.json north_star:
+"batched per-row Hessian build, solve, and line search on the MXU").
+
+Per-row math (SURVEY.md §0 "Newton update", binding):
+
+    p  = f(B mᵢ)
+    g  = Bᵀ[(p − dᵢ) ⊙ f'(B mᵢ)] + l1·sign(mᵢ) + l2·mᵢ
+    H  = Bᵀ diag(w) B + (l2 + hessian_pertubation)·I
+         w = f'(⋅)²               (hessian_form='gauss')
+         w = f'(⋅)² + (p−dᵢ)⊙f''  (hessian_form='full')
+    mᵢ ← proj≥0( mᵢ − step · H⁻¹ g ),  step from backtracking line search
+
+Every factor update is an instance of one generic routine over "terms"
+(D, B, link): U sees one term (X, V); Z sees (Yᵀ, V); the shared V sees two
+— (Xᵀ, U) and (Y, Z) — which is the coupling. Under the sharded runner the
+X-side term's (G, H, φ) contributions are psummed over the mesh axis
+(SURVEY.md §5 "Distributed communication backend").
+
+Sampling: ``sg_sample_ratio`` subsamples the columns entering g, H and the
+line-search objective each iteration (fixed sample size → static shapes;
+SURVEY.md §0 note c). No rescaling is applied — g and H scale together, so
+the Newton direction is unchanged in expectation (pinned assumption).
+
+Sparse (CSR) data is supported for linear-link terms without densifying
+(SpMM numerators + factored per-row line-search objective); sigmoid-link
+terms require dense data in v1 (the binding configs only need dense sigmoid,
+BASELINE.json configs #2-#4).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.links import LINEAR
+from ..ops.losses import total_loss
+from ..ops.matmul import gram, matmul
+from ..ops.sparse import is_sparse, row_sq_norms, spmm
+from .common import Coupled, Hyper, SolverConfig, run_solver_loop
+
+
+class _LinearCtx(NamedTuple):
+    """Candidate-independent quantities for a linear-link term's line search:
+    φᵢ(m) = ½(‖dᵢ‖² − 2⟨(DB)ᵢ, m⟩ + mᵀ(BᵀB)m)."""
+    DB: jnp.ndarray       # (p, k)
+    BtB: jnp.ndarray      # (k, k)
+    row_sq: jnp.ndarray   # (p,)
+    distributed: bool
+
+
+class _SigmoidCtx(NamedTuple):
+    D: jnp.ndarray        # (p, q) dense
+    B: jnp.ndarray        # (q, k)
+    mask: Optional[jnp.ndarray]  # (q,) column mask (sharded padding)
+    distributed: bool
+
+
+def _sample_columns(rng, D, B, mask, ratio: float):
+    """Uniform without-replacement column subsample with a static size."""
+    q = B.shape[0]
+    s = max(1, int(-(-ratio * q // 1)))  # ceil, static
+    if s >= q:
+        return D, B, mask
+    idx = jax.random.choice(rng, q, shape=(s,), replace=False)
+    Ds = jnp.take(D, idx, axis=1)
+    Bs = jnp.take(B, idx, axis=0)
+    ms = None if mask is None else jnp.take(mask, idx, axis=0)
+    return Ds, Bs, ms
+
+
+def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
+                     distributed: bool):
+    """Return (G_term (p,k), H_shared (k,k) | None, H_rows (p,k,k) | None,
+    line-search ctx) for one coupled term."""
+    if link == LINEAR:
+        # Zero-padded B rows (sharding) contribute 0 to BtB/DB — no mask.
+        BtB = gram(B)
+        DB = spmm(D, B) if is_sparse(D) else matmul(D, B)
+        G = matmul(M, BtB) - DB
+        row_sq = row_sq_norms(D) if is_sparse(D) else jnp.sum(D * D, axis=1)
+        return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
+
+    if is_sparse(D):
+        raise NotImplementedError(
+            "Newton with a sigmoid link requires dense data in this version; "
+            "densify or use x_link/y_link='linear' for the sparse matrix")
+    P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
+    R = P - D
+    fp = P * (1.0 - P)
+    W = fp * fp
+    if hessian_form == "full":
+        W = W + R * (fp * (1.0 - 2.0 * P))   # + (p−d)⊙f''
+    Rfp = R * fp
+    if mask is not None:
+        Rfp = Rfp * mask[None, :]
+        W = W * mask[None, :]
+    G = matmul(Rfp, B)
+    # H_rows[i] = Bᵀ diag(W_i) B — batched onto the MXU as an einsum.
+    H_rows = jnp.einsum("pq,qk,ql->pkl", W, B, B,
+                        precision=jax.lax.Precision.HIGHEST)
+    return G, None, H_rows, _SigmoidCtx(D, B, mask, distributed)
+
+
+def _phi_term(Mc, ctx) -> jnp.ndarray:
+    """Per-row residual objective ½‖dᵢ − f(B mᵢ)‖² for a candidate factor."""
+    if isinstance(ctx, _LinearCtx):
+        quad = jnp.sum(matmul(Mc, ctx.BtB) * Mc, axis=1)
+        return 0.5 * (ctx.row_sq - 2.0 * jnp.sum(ctx.DB * Mc, axis=1) + quad)
+    R = ctx.D - jax.nn.sigmoid(matmul(Mc, ctx.B.T))
+    if ctx.mask is not None:
+        return 0.5 * jnp.sum(R * R * ctx.mask[None, :], axis=1)
+    return 0.5 * jnp.sum(R * R, axis=1)
+
+
+def _solve_direction(H_shared, H_rows, G, use_pallas: bool):
+    """d = H⁻¹ g for all rows at once."""
+    if H_rows is None:
+        # One shared SPD k×k system (all-linear links) — a single solve.
+        c, low = jax.scipy.linalg.cho_factor(H_shared)
+        return jax.scipy.linalg.cho_solve((c, low), G.T).T
+    H = H_rows + H_shared[None, :, :]
+    if use_pallas:
+        from ..ops.pallas.batched_solve import batched_spd_solve
+
+        return batched_spd_solve(H, G)
+    return jnp.linalg.solve(H, G[..., None])[..., 0]
+
+
+def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
+                         non_negative: bool, trials: int, hessian_form: str,
+                         sample_ratio: float, use_pallas: bool = False,
+                         distributed=(), masks=(), axis_name=None):
+    """One batched Newton update of factor M against its coupled terms.
+
+    terms: tuple of (D, B); links: matching static link names;
+    distributed: matching bools — True marks terms whose columns are sharded
+    over ``axis_name`` (their G/H/φ contributions are psummed);
+    masks: matching optional (q,) column masks for sharded sigmoid padding.
+    """
+    p, k = M.shape
+    dtype = M.dtype
+    l1 = hyper.alpha * hyper.l1_ratio
+    l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+
+    if not distributed:
+        distributed = (False,) * len(terms)
+    if not masks:
+        masks = (None,) * len(terms)
+
+    G_local = l1 * jnp.sign(M) + l2 * M
+    G_dist = jnp.zeros_like(M)
+    eye = jnp.eye(k, dtype=dtype)
+    H_shared_local = (l2 + hyper.hessian_pertubation) * eye
+    H_shared_dist = jnp.zeros_like(eye)
+    H_rows_local = None
+    H_rows_dist = None
+    ctxs = []
+
+    for t, ((D, B), link, dist, mask) in enumerate(
+            zip(terms, links, distributed, masks)):
+        if sample_ratio < 1.0 and not is_sparse(D):
+            key = jax.random.fold_in(rng, t)
+            if dist and axis_name is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            D, B, mask = _sample_columns(key, D, B, mask, sample_ratio)
+        G_t, H_sh_t, H_rw_t, ctx = _accumulate_term(
+            M, D, B, link, hessian_form, mask, dist)
+        if dist:
+            G_dist = G_dist + G_t
+            if H_sh_t is not None:
+                H_shared_dist = H_shared_dist + H_sh_t
+            if H_rw_t is not None:
+                H_rows_dist = H_rw_t if H_rows_dist is None \
+                    else H_rows_dist + H_rw_t
+        else:
+            G_local = G_local + G_t
+            if H_sh_t is not None:
+                H_shared_local = H_shared_local + H_sh_t
+            if H_rw_t is not None:
+                H_rows_local = H_rw_t if H_rows_local is None \
+                    else H_rows_local + H_rw_t
+        ctxs.append(ctx)
+
+    if axis_name is not None:
+        G_dist = jax.lax.psum(G_dist, axis_name)
+        H_shared_dist = jax.lax.psum(H_shared_dist, axis_name)
+        if H_rows_dist is not None:
+            H_rows_dist = jax.lax.psum(H_rows_dist, axis_name)
+    G = G_local + G_dist
+    H_shared = H_shared_local + H_shared_dist
+    H_rows = H_rows_local
+    if H_rows_dist is not None:
+        H_rows = H_rows_dist if H_rows is None else H_rows + H_rows_dist
+
+    d = _solve_direction(H_shared, H_rows, G, use_pallas)
+
+    def project(Mc):
+        return jnp.maximum(Mc, 0.0) if non_negative else Mc
+
+    if trials <= 0:
+        return project(M - d)
+
+    def phi(Mc):
+        out = l1 * jnp.sum(jnp.abs(Mc), axis=1) \
+            + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
+        acc_dist = jnp.zeros((p,), dtype)
+        for ctx in ctxs:
+            term = _phi_term(Mc, ctx)
+            if ctx.distributed:
+                acc_dist = acc_dist + term
+            else:
+                out = out + term
+        if axis_name is not None:
+            acc_dist = jax.lax.psum(acc_dist, axis_name)
+        return out + acc_dist
+
+    phi0 = phi(M)
+    cands, phis = [], []
+    for t in range(trials):
+        Mc = project(M - (0.5 ** t) * d)
+        cands.append(Mc)
+        phis.append(phi(Mc))
+    cands = jnp.stack(cands)                 # (T, p, k)
+    phis = jnp.stack(phis)                   # (T, p)
+    accepted = phis < phi0[None, :]
+    first = jnp.argmax(accepted, axis=0)     # first (largest) accepted step
+    any_acc = jnp.any(accepted, axis=0)
+    chosen = jnp.take_along_axis(cands, first[None, :, None], axis=0)[0]
+    return jnp.where(any_acc[:, None], chosen, M)
+
+
+@lru_cache(maxsize=None)
+def make_newton_step(cfg: SolverConfig):
+    """Pure jitted Newton step: update U, then Z, then V (pinned order)."""
+
+    def step(X: Coupled, Y, U, V, Z, hyper: Hyper, rng):
+        kU, kZ, kV = jax.random.split(rng, 3)
+        common = dict(trials=cfg.line_search_trials,
+                      hessian_form=cfg.hessian_form,
+                      sample_ratio=cfg.sg_sample_ratio,
+                      use_pallas=cfg.use_pallas)
+
+        if cfg.update_U:
+            U = newton_update_factor(
+                kU, U, ((X.A, V),), (cfg.x_link,), hyper,
+                non_negative=cfg.U_non_negative, **common)
+        if cfg.has_Y and cfg.update_Z:
+            Yt = Y.At if is_sparse(Y.A) else Y.A.T
+            Z = newton_update_factor(
+                kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
+                non_negative=cfg.Z_non_negative, **common)
+        if cfg.update_V:
+            Xt = X.At if is_sparse(X.A) else X.A.T
+            terms = ((Xt, U),)
+            links = (cfg.x_link,)
+            if cfg.has_Y:
+                terms = terms + ((Y.A, Z),)
+                links = links + (cfg.y_link,)
+            V = newton_update_factor(
+                kV, V, terms, links, hyper,
+                non_negative=cfg.V_non_negative, **common)
+        return U, V, Z
+
+    return step
+
+
+@lru_cache(maxsize=None)
+def _make_loss(cfg: SolverConfig):
+    @jax.jit
+    def loss_fn(state, hyper: Hyper):
+        X, Y, U, V, Z = state
+        YA = Y.A if cfg.has_Y else None
+        return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
+                          hyper.alpha, hyper.l1_ratio)
+
+    return loss_fn
+
+
+@lru_cache(maxsize=None)
+def _make_block(cfg: SolverConfig):
+    step = make_newton_step(cfg)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def block(state, hyper: Hyper, rng, n_steps: int):
+        X, Y, U, V, Z = state
+
+        def body(i, carry):
+            U, V, Z, key = carry
+            U, V, Z = step(X, Y, U, V, Z, hyper, jax.random.fold_in(key, i))
+            return U, V, Z, key
+
+        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, body, (U, V, Z, rng))
+        rng, _ = jax.random.split(rng)
+        loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
+        return (X, Y, U, V, Z), loss, rng
+
+    return block
+
+
+def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
+               rng, *, max_iter: int = 200, tol: float = 1e-4,
+               eval_every: int = 10, verbose: int = 0):
+    """Host loop for the Newton solver."""
+    block = _make_block(cfg)
+    loss_fn = _make_loss(cfg)
+    state = (X, Y, U0, V0, Z0)
+    state, n_iter, losses, iters, times = run_solver_loop(
+        block, state, hyper, rng, max_iter=max_iter, tol=tol,
+        eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn,
+    )
+    _, _, U, V, Z = state
+    return U, V, Z, n_iter, losses, iters, times
