@@ -84,8 +84,9 @@ class CMF(BaseEstimator, TransformerMixin):
                  Z_non_negative=True, x_link="linear", y_link="linear",
                  x_init="random", y_init="random", hessian_pertubation=0.2,
                  sg_sample_ratio=1.0, eps=1e-10, dtype="float32",
-                 eval_every=10, use_pallas=False, hessian_form="gauss",
-                 line_search_trials=8, n_shards=None, shard_layout="rows"):
+                 eval_every=10, use_pallas=None, hessian_form="gauss",
+                 line_search_trials=8, n_shards=None, shard_layout="rows",
+                 sparse_mode="auto"):
         self.n_components = n_components
         self.solver = solver
         self.alpha = alpha
@@ -111,8 +112,16 @@ class CMF(BaseEstimator, TransformerMixin):
         self.line_search_trials = line_search_trials
         self.n_shards = n_shards
         self.shard_layout = shard_layout
+        self.sparse_mode = sparse_mode
 
     # -- internals --------------------------------------------------------
+
+    def _resolve_use_pallas(self):
+        """None → auto: kernels on TPU, jnp oracle elsewhere (interpret
+        mode is correct but slow, so it stays opt-in off-TPU)."""
+        if self.use_pallas is None:
+            return jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
 
     def _resolve_dtype(self):
         dt = self.dtype
@@ -136,7 +145,7 @@ class CMF(BaseEstimator, TransformerMixin):
             has_Y=has_Y, hessian_form=self.hessian_form,
             line_search_trials=self.line_search_trials,
             sg_sample_ratio=self.sg_sample_ratio,
-            use_pallas=self.use_pallas,
+            use_pallas=self._resolve_use_pallas(),
         )
 
     def _validate(self, X, Y):
@@ -166,12 +175,6 @@ class CMF(BaseEstimator, TransformerMixin):
                            self.hessian_pertubation, dtype=U0.dtype)
         kw = dict(max_iter=self.max_iter, tol=self.tol,
                   eval_every=self.eval_every, verbose=self.verbose)
-        if self.n_shards is not None and self.n_shards > 1:
-            from ..parallel.sharded import run_sharded
-
-            return run_sharded(self.solver, Xc, Yc, U0, V0, Z0, cfg, hyper,
-                               rng, n_shards=self.n_shards,
-                               layout=self.shard_layout, **kw)
         if self.solver == "mu":
             return run_mu(Xc, Yc, U0, V0, Z0, cfg, hyper, **kw)
         return run_newton(Xc, Yc, U0, V0, Z0, cfg, hyper, rng, **kw)
@@ -198,19 +201,35 @@ class CMF(BaseEstimator, TransformerMixin):
             random_state=self.random_state, U=U, V=V, Z=Z)
 
         dt = self._resolve_dtype()
-        Xc = as_coupled(X, dt)
-        Yc = as_coupled(Y, dt) if Y is not None else None
-        U0 = jnp.asarray(U0, dtype=dt)
-        V0 = jnp.asarray(V0, dtype=dt)
-        Z0 = jnp.asarray(Z0, dtype=dt) if Z0 is not None else \
-            jnp.zeros((0, k), dtype=dt)
-
         cfg = self._config(has_Y=Y is not None)
         seed = self.random_state if isinstance(self.random_state, int) else 0
         rng = jax.random.PRNGKey(seed)
 
-        Uf, Vf, Zf, n_iter, losses, iters, times = self._run(
-            Xc, Yc, U0, V0, Z0, cfg, rng)
+        if self.n_shards is not None and self.n_shards > 1:
+            # Multi-chip: operands are split/padded on the host per layout
+            # (SURVEY.md §7 stage 6), so hand over host matrices directly.
+            from ..parallel.sharded import run_sharded
+
+            hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
+                               self.hessian_pertubation, dtype=dt)
+            Uf, Vf, Zf, n_iter, losses, iters, times = run_sharded(
+                self.solver, X, Y, U0, V0, Z0, cfg, hyper, rng,
+                n_shards=self.n_shards, layout=self.shard_layout, dtype=dt,
+                max_iter=self.max_iter, tol=self.tol,
+                eval_every=self.eval_every, verbose=self.verbose)
+        else:
+            up = self._resolve_use_pallas()
+            Xc = as_coupled(X, dt, use_pallas=up,
+                            sparse_mode=self.sparse_mode)
+            Yc = (as_coupled(Y, dt, use_pallas=up,
+                             sparse_mode=self.sparse_mode)
+                  if Y is not None else None)
+            U0 = jnp.asarray(U0, dtype=dt)
+            V0 = jnp.asarray(V0, dtype=dt)
+            Z0 = jnp.asarray(Z0, dtype=dt) if Z0 is not None else \
+                jnp.zeros((0, k), dtype=dt)
+            Uf, Vf, Zf, n_iter, losses, iters, times = self._run(
+                Xc, Yc, U0, V0, Z0, cfg, rng)
 
         self.U_ = np.asarray(jax.device_get(Uf), dtype=np.float64)
         self.V_ = np.asarray(jax.device_get(Vf), dtype=np.float64)
@@ -254,7 +273,8 @@ class CMF(BaseEstimator, TransformerMixin):
         else:
             U0 = np.asarray(U, dtype=np.float64)
 
-        Xc = as_coupled(X, dt)
+        Xc = as_coupled(X, dt, use_pallas=self._resolve_use_pallas(),
+                        sparse_mode=self.sparse_mode)
         V0 = jnp.asarray(self.V_, dtype=dt)
         U0 = jnp.asarray(U0, dtype=dt)
         Z0 = jnp.zeros((0, k), dtype=dt)

@@ -36,12 +36,21 @@ def penalty(M: jnp.ndarray, alpha, l1_ratio) -> jnp.ndarray:
     return l1 * jnp.sum(jnp.abs(M)) + 0.5 * l2 * jnp.sum(M * M)
 
 
-def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR)."""
+def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
+                 tiled=None) -> jnp.ndarray:
+    """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR).
+
+    tiled: optional Pallas tiled-CSR chunks of A — routes the SDDMM through
+    the kernel instead of XLA gathers (slow on TPU)."""
     cross = jnp.sum(gram(M) * gram(B))
     if is_sparse(A):
         a_sq = A.sq_norm
-        inner = sddmm_dot(A, M, B)
+        if tiled is not None:
+            from .pallas.spmm import sddmm_rowdots_chunks
+
+            inner = jnp.sum(sddmm_rowdots_chunks(tiled, M, B))
+        else:
+            inner = sddmm_dot(A, M, B)
     else:
         a_sq = jnp.sum(A * A)
         inner = jnp.sum(matmul(A, B) * M)
@@ -128,7 +137,8 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
 
 def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
-                        row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                        row_mask: Optional[jnp.ndarray] = None,
+                        tiled=None) -> jnp.ndarray:
     """½‖A − f(M Bᵀ)‖²_F for one coupled matrix.
 
     row_mask (optional, dense/sigmoid paths): per-row weights, used by the
@@ -136,17 +146,18 @@ def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
     A and M contribute exactly 0 and need no mask).
     """
     if link == LINEAR:
-        return _linear_term(A, M, B)
+        return _linear_term(A, M, B, tiled)
     return _sigmoid_term(A, M, B, row_mask)
 
 
 def total_loss(X, Y, U, V, Z, x_link: str, y_link: str, alpha, l1_ratio,
-               x_row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               x_row_mask: Optional[jnp.ndarray] = None,
+               x_tiled=None, y_tiled=None) -> jnp.ndarray:
     """Full CMF objective L(U, V, Z). Y may be None (single-matrix / NMF)."""
-    loss = reconstruction_term(X, U, V, x_link, x_row_mask)
+    loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled)
     loss = loss + penalty(U, alpha, l1_ratio) + penalty(V, alpha, l1_ratio)
     if Y is not None:
-        loss = loss + reconstruction_term(Y, V, Z, y_link)
+        loss = loss + reconstruction_term(Y, V, Z, y_link, tiled=y_tiled)
         loss = loss + penalty(Z, alpha, l1_ratio)
     return loss
 

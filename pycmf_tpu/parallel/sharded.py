@@ -1,0 +1,484 @@
+"""Multi-chip CMF: row-sharded solvers over a 1-D device mesh.
+
+This is the build's distributed-communication component (SURVEY.md §5: the
+reference has none; the TPU-native equivalent is XLA collectives over ICI
+inside shard_map). Two layouts, per SURVEY.md §7 stage 6:
+
+- layout "rows" (A): shard X's rows (n) — U co-sharded, V/Z/Y replicated.
+  Each iteration all-reduces (psum over the mesh axis) the shared-V
+  numerator+denominator terms (MU: XᵀU and UᵀU) or the stacked per-row
+  gradient/Hessian/line-search contributions (Newton), exactly the
+  communication pattern BASELINE.json mandates ("row-sharded X/Y across
+  chips with shared-V all-reduce over ICI").
+- layout "cols" (B): shard the coupled dimension m — X col-sharded,
+  Y row-sharded, V co-sharded, U/Z replicated; psums move to U's and Z's
+  update terms. For problems whose shared dimension dwarfs n. (MU only.)
+
+Sparse CSR data is pre-split on the host into per-device CSR blocks whose
+nonzero arrays are padded to a common length (static shapes on every chip);
+padding entries carry value 0 at the last local row, so every segment-sum
+and SDDMM ignores them. Dense data is zero-padded to a divisible row count;
+zero rows are exact no-ops for linear links, and sigmoid paths receive an
+explicit row mask.
+
+The same pure solver math runs inside ``shard_map`` — sharding is a property
+of the operands, not of the algorithm (SURVEY.md §7 design stance).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.links import LINEAR
+from ..ops.losses import penalty, reconstruction_term
+from ..ops.matmul import gram, matmul
+from ..ops.sparse import CsrMatrix, is_sparse, sddmm_dot, spmm
+from ..solvers.common import Hyper, SolverConfig, run_solver_loop
+from ..solvers.mu import mu_ratio_update
+from ..solvers.newton import newton_update_factor
+from .mesh import AXIS, make_mesh
+
+# ---------------------------------------------------------------------------
+# Host-side operand preparation
+# ---------------------------------------------------------------------------
+
+
+def _stack_csr_blocks(blocks, dtype) -> CsrMatrix:
+    """Stack per-device scipy CSR blocks into one leading-dim-d CsrMatrix.
+
+    All blocks must share .shape (the LOCAL shape). nnz arrays are padded to
+    the max block nnz with (data=0, col=0, row=last_row) so padding entries
+    are sorted no-ops for segment ops.
+    """
+    local_shape = blocks[0].shape
+    rows = local_shape[0]
+    datas, idxs, ptrs, rids, sqs = [], [], [], [], []
+    nnz_max = max(1, max(b.nnz for b in blocks))
+    for b in blocks:
+        b = sp.csr_matrix(b)
+        b.sum_duplicates()
+        pad = nnz_max - b.nnz
+        data = np.pad(np.asarray(b.data, dtype=np.float64), (0, pad))
+        cols = np.pad(np.asarray(b.indices, dtype=np.int32), (0, pad))
+        rid = np.repeat(np.arange(rows, dtype=np.int32), np.diff(b.indptr))
+        rid = np.pad(rid, (0, pad), constant_values=rows - 1)
+        datas.append(data)
+        idxs.append(cols)
+        ptrs.append(np.asarray(b.indptr, dtype=np.int32))
+        rids.append(rid)
+        sqs.append(np.sum(np.asarray(b.data, dtype=np.float64) ** 2))
+    return CsrMatrix(
+        jnp.asarray(np.stack(datas), dtype=dtype),
+        jnp.asarray(np.stack(idxs)),
+        jnp.asarray(np.stack(ptrs)),
+        jnp.asarray(np.stack(rids)),
+        jnp.asarray(np.asarray(sqs), dtype=dtype),
+        local_shape,
+    )
+
+
+def _local_csr(stk: CsrMatrix) -> CsrMatrix:
+    """Inside shard_map: drop the (length-1) leading device dim."""
+    return CsrMatrix(stk.data[0], stk.indices[0], stk.indptr[0],
+                     stk.row_ids[0], stk.sq_norm[0], stk.shape)
+
+
+class _RowOperands(NamedTuple):
+    """Device operands for the rows layout (leading dims sharded over AXIS)."""
+    X: object            # dense (n_pad, m) | stacked CsrMatrix (d, ...)
+    Xt: object           # None (dense) | stacked CsrMatrix of local transposes
+    Y: object            # replicated dense (m, r) | CsrMatrix | None
+    Yt: object
+    mask: jnp.ndarray    # (n_pad,) 1.0 on real rows
+
+
+def _prepare_rows(X, Y, U0, d, dtype):
+    """Split X by rows into d blocks; pad; build transposes per block."""
+    n, m = X.shape
+    n_loc = -(-n // d)
+    n_pad = d * n_loc
+    mask = np.zeros((n_pad,), dtype=np.float64)
+    mask[:n] = 1.0
+
+    if sp.issparse(X):
+        X = sp.csr_matrix(X)
+        blocks, tblocks = [], []
+        for i in range(d):
+            blk = X[i * n_loc: min((i + 1) * n_loc, n)]
+            if blk.shape[0] < n_loc:  # pad empty rows
+                blk = sp.vstack([blk, sp.csr_matrix(
+                    (n_loc - blk.shape[0], m))]).tocsr()
+            blocks.append(blk)
+            tblocks.append(blk.T.tocsr())
+        Xd = _stack_csr_blocks(blocks, dtype)
+        Xtd = _stack_csr_blocks(tblocks, dtype)
+    else:
+        Xh = np.zeros((n_pad, m), dtype=np.float64)
+        Xh[:n] = np.asarray(X)
+        Xd = jnp.asarray(Xh, dtype=dtype)
+        Xtd = None
+
+    if Y is None:
+        Yd = Ytd = None
+    elif sp.issparse(Y):
+        from ..ops.sparse import csr_transpose_host
+
+        Yd, Ytd = csr_transpose_host(Y, dtype)
+    else:
+        Yd = jnp.asarray(np.asarray(Y), dtype=dtype)
+        Ytd = None
+
+    U_pad = np.zeros((n_pad, U0.shape[1]), dtype=np.float64)
+    U_pad[:n] = U0
+    return _RowOperands(Xd, Xtd, Yd, Ytd, jnp.asarray(mask, dtype=dtype)), \
+        jnp.asarray(U_pad, dtype=dtype), n
+
+
+def _prepare_cols(X, Y, V0, d, dtype):
+    """Split the shared dimension m into d blocks (layout B)."""
+    n, m = X.shape
+    m_loc = -(-m // d)
+    m_pad = d * m_loc
+
+    if sp.issparse(X):
+        Xc = sp.csc_matrix(X)
+        blocks, tblocks = [], []
+        for i in range(d):
+            lo, hi = i * m_loc, min((i + 1) * m_loc, m)
+            blk = Xc[:, lo:hi]
+            if blk.shape[1] < m_loc:
+                blk = sp.hstack([blk, sp.csc_matrix(
+                    (n, m_loc - blk.shape[1]))])
+            blocks.append(sp.csr_matrix(blk))
+            tblocks.append(sp.csr_matrix(blk.T))
+        Xd = _stack_csr_blocks(blocks, dtype)     # local (n, m_loc)
+        Xtd = _stack_csr_blocks(tblocks, dtype)   # local (m_loc, n)
+    else:
+        Xh = np.zeros((n, m_pad), dtype=np.float64)
+        Xh[:, :m] = np.asarray(X)
+        Xd = jnp.asarray(Xh, dtype=dtype)
+        Xtd = None
+
+    if Y is None:
+        Yd = None
+    else:
+        if sp.issparse(Y):
+            Y = np.asarray(Y.todense())
+        Yh = np.zeros((m_pad, Y.shape[1]), dtype=np.float64)
+        Yh[:m] = np.asarray(Y)
+        Yd = jnp.asarray(Yh, dtype=dtype)
+
+    V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
+    V_pad[:m] = V0
+    return Xd, Xtd, Yd, jnp.asarray(V_pad, dtype=dtype), m
+
+
+# ---------------------------------------------------------------------------
+# Sharded loss (rows layout)
+# ---------------------------------------------------------------------------
+
+
+def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
+               hyper: Hyper):
+    """L(U,V,Z) with U and X row-sharded: psum the X-side contributions."""
+    if cfg.x_link == LINEAR:
+        if is_sparse(ops.X):
+            Xl = _local_csr(ops.X)
+            a_sq = Xl.sq_norm
+            inner = sddmm_dot(Xl, U, V)
+        else:
+            a_sq = jnp.sum(ops.X * ops.X)
+            inner = jnp.sum(matmul(ops.X, V) * U)
+        gU = jax.lax.psum(gram(U), AXIS)
+        part = jax.lax.psum(a_sq - 2.0 * inner, AXIS)
+        x_term = 0.5 * (part + jnp.sum(gU * gram(V)))
+    else:
+        R = ops.X - jax.nn.sigmoid(matmul(U, V.T))
+        x_term = 0.5 * jax.lax.psum(
+            jnp.sum(mask[:, None] * R * R), AXIS)
+
+    loss = x_term + jax.lax.psum(penalty(U, hyper.alpha, hyper.l1_ratio),
+                                 AXIS)
+    loss = loss + penalty(V, hyper.alpha, hyper.l1_ratio)
+    if cfg.has_Y:
+        loss = loss + reconstruction_term(ops.Y, V, Z, cfg.y_link)
+        loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# MU blocks
+# ---------------------------------------------------------------------------
+
+
+def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
+    """One MU iteration, rows layout. psums: XᵀU and UᵀU (shared-V terms)."""
+    l1 = hyper.alpha * hyper.l1_ratio
+    l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+    eps = hyper.eps
+    Xl = _local_csr(ops.X) if is_sparse(ops.X) else ops.X
+    up = cfg.use_pallas
+
+    if cfg.update_U:
+        VtV = gram(V)
+        num = spmm(Xl, V) if is_sparse(ops.X) else matmul(Xl, V)
+        U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+    if cfg.has_Y and cfg.update_Z:
+        VtV = gram(V)
+        if is_sparse(ops.Y):
+            num = spmm(ops.Yt, V)
+        else:
+            num = matmul(ops.Y.T, V)
+        Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+    if cfg.update_V:
+        if is_sparse(ops.X):
+            xtu = spmm(_local_csr(ops.Xt), U)
+        else:
+            xtu = matmul(Xl.T, U)
+        num = jax.lax.psum(xtu, AXIS)                # shared-V all-reduce
+        S = jax.lax.psum(gram(U), AXIS)
+        if cfg.has_Y:
+            num = num + (spmm(ops.Y, Z) if is_sparse(ops.Y)
+                         else matmul(ops.Y, Z))
+            S = S + gram(Z)
+        V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+    return U, V, Z
+
+
+def _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
+    """One MU iteration, cols layout: V/Y/Xᵀ sharded on m, U/Z replicated.
+    psums: X·V and VᵀV (U's terms), YᵀV (Z's term)."""
+    l1 = hyper.alpha * hyper.l1_ratio
+    l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+    eps = hyper.eps
+    sparse_x = is_sparse(Xd)
+    Xl = _local_csr(Xd) if sparse_x else Xd
+    Xtl = _local_csr(Xtd) if sparse_x else None
+    up = cfg.use_pallas
+
+    if cfg.update_U:
+        VtV = jax.lax.psum(gram(V), AXIS)
+        num = jax.lax.psum(spmm(Xl, V) if sparse_x else matmul(Xl, V), AXIS)
+        U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+    if cfg.has_Y and cfg.update_Z:
+        VtV = jax.lax.psum(gram(V), AXIS)
+        num = jax.lax.psum(matmul(Yd.T, V), AXIS)
+        Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+    if cfg.update_V:
+        num = spmm(Xtl, U) if sparse_x else matmul(Xl.T, U)
+        S = gram(U)
+        if cfg.has_Y:
+            num = num + matmul(Yd, Z)
+            S = S + gram(Z)
+        V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+    return U, V, Z
+
+
+def _loss_cols(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
+    sparse_x = is_sparse(Xd)
+    Xl = _local_csr(Xd) if sparse_x else Xd
+    if sparse_x:
+        a_sq = Xl.sq_norm
+        inner = jnp.sum(spmm(_local_csr(Xtd), U) * V)
+    else:
+        a_sq = jnp.sum(Xl * Xl)
+        inner = jnp.sum(matmul(Xl.T, U) * V)
+    gV = jax.lax.psum(gram(V), AXIS)
+    x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
+                    + jnp.sum(gram(U) * gV))
+    loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio)
+    loss = loss + jax.lax.psum(penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
+    if cfg.has_Y:
+        y_sq = jax.lax.psum(jnp.sum(Yd * Yd), AXIS)
+        y_inner = jax.lax.psum(jnp.sum(matmul(Yd.T, V) * Z), AXIS)
+        y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Newton block (rows layout)
+# ---------------------------------------------------------------------------
+
+
+def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
+    """One Newton iteration, rows layout: U local; Z replicated; V's X-side
+    (g, H, φ) contributions psummed (BASELINE.json: "all-reduce of shared-V
+    gradient/denominator terms" — here stacked per-row g/H)."""
+    kU, kZ, kV = jax.random.split(rng, 3)
+    common = dict(trials=cfg.line_search_trials,
+                  hessian_form=cfg.hessian_form,
+                  sample_ratio=cfg.sg_sample_ratio,
+                  use_pallas=cfg.use_pallas)
+    Xl = _local_csr(ops.X) if is_sparse(ops.X) else ops.X
+
+    if cfg.update_U:
+        # Local rows — no communication. Per-shard sample keys.
+        kU = jax.random.fold_in(kU, jax.lax.axis_index(AXIS))
+        U = newton_update_factor(
+            kU, U, ((Xl, V),), (cfg.x_link,), hyper,
+            non_negative=cfg.U_non_negative, **common)
+        U = U * mask[:, None]   # keep padding rows exactly zero
+    if cfg.has_Y and cfg.update_Z:
+        Yt = ops.Yt if is_sparse(ops.Y) else ops.Y.T
+        Z = newton_update_factor(
+            kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
+            non_negative=cfg.Z_non_negative, **common)
+    if cfg.update_V:
+        Xtl = _local_csr(ops.Xt) if is_sparse(ops.X) else Xl.T
+        terms = ((Xtl, U),)
+        links = (cfg.x_link,)
+        dist = (True,)
+        masks = (mask if cfg.x_link != LINEAR else None,)
+        if cfg.has_Y:
+            terms = terms + ((ops.Y, Z),)
+            links = links + (cfg.y_link,)
+            dist = dist + (False,)
+            masks = masks + (None,)
+        V = newton_update_factor(
+            kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
+            distributed=dist, masks=masks, axis_name=AXIS, **common)
+    return U, V, Z
+
+
+# ---------------------------------------------------------------------------
+# Block factories + host runner
+# ---------------------------------------------------------------------------
+
+
+def _shard_specs_rows(ops: _RowOperands):
+    x_spec = P(AXIS) if is_sparse(ops.X) else P(AXIS, None)
+    xt_spec = None if ops.Xt is None else P(AXIS)
+    y_spec = None if ops.Y is None else P()
+    yt_spec = None if ops.Yt is None else P()
+    return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS))
+
+
+def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
+    in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P())
+    out_specs = ((P(AXIS, None), P(), P()), P(), P())
+
+    def body(ops, U, V, Z, hyper, rng, n_steps):
+        mask = ops.mask
+
+        def one(i, carry):
+            U, V, Z, key = carry
+            if solver == "mu":
+                U, V, Z = _mu_rows_iter(ops, U, V, Z, mask, cfg, hyper)
+            else:
+                U, V, Z = _newton_rows_iter(ops, U, V, Z, mask, cfg, hyper,
+                                            jax.random.fold_in(key, i))
+            return U, V, Z, key
+
+        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, one, (U, V, Z, rng))
+        rng, _ = jax.random.split(rng)
+        loss = _loss_rows(ops, U, V, Z, mask, cfg, hyper)
+        return (U, V, Z), loss, rng
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def block(state, hyper, rng, n_steps):
+        ops, U, V, Z = state
+        sm = jax.shard_map(
+            partial(body, n_steps=n_steps), mesh=mesh,
+            in_specs=in_specs, out_specs=out_specs, check_vma=False)
+        (U, V, Z), loss, rng = sm(ops, U, V, Z, hyper, rng)
+        return (ops, U, V, Z), loss, rng
+
+    def loss_fn(state, hyper):
+        ops, U, V, Z = state
+        sm = jax.shard_map(
+            lambda ops, U, V, Z, h: _loss_rows(ops, U, V, Z, ops.mask, cfg,
+                                               h),
+            mesh=mesh, in_specs=in_specs[:4] + (P(),), out_specs=P(),
+            check_vma=False)
+        return sm(ops, U, V, Z, hyper)
+
+    return block, jax.jit(loss_fn)
+
+
+def _make_cols_block(cfg: SolverConfig, mesh, ops_specs):
+    x_spec, xt_spec, y_spec = ops_specs
+    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P())
+    out_specs = ((P(), P(AXIS, None), P()), P(), P())
+
+    def body(Xd, Xtd, Yd, U, V, Z, hyper, n_steps):
+        def one(_, fac):
+            return _mu_cols_iter(Xd, Xtd, Yd, *fac, cfg, hyper)
+
+        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
+        loss = _loss_cols(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
+        return (U, V, Z), loss, None
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def block(state, hyper, rng, n_steps):
+        Xd, Xtd, Yd, U, V, Z = state
+        sm = jax.shard_map(
+            partial(body, n_steps=n_steps), mesh=mesh,
+            in_specs=in_specs, out_specs=out_specs, check_vma=False)
+        (U, V, Z), loss, _ = sm(Xd, Xtd, Yd, U, V, Z, hyper)
+        return (Xd, Xtd, Yd, U, V, Z), loss, rng
+
+    def loss_fn(state, hyper):
+        Xd, Xtd, Yd, U, V, Z = state
+        sm = jax.shard_map(
+            lambda Xd, Xtd, Yd, U, V, Z, h: _loss_cols(Xd, Xtd, Yd, U, V, Z,
+                                                       cfg, h),
+            mesh=mesh, in_specs=in_specs[:6] + (P(),), out_specs=P(),
+            check_vma=False)
+        return sm(Xd, Xtd, Yd, U, V, Z, hyper)
+
+    return block, jax.jit(loss_fn)
+
+
+def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
+                hyper: Hyper, rng, *, n_shards: int, layout: str = "rows",
+                dtype=jnp.float32, mesh=None, max_iter: int = 200,
+                tol: float = 1e-4, eval_every: int = 10, verbose: int = 0):
+    """Sharded host loop. X/Y are host matrices (ndarray or scipy.sparse);
+    U0/V0/Z0 host ndarrays. Returns the same tuple as run_mu/run_newton."""
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    k = U0.shape[1]
+
+    if layout == "rows":
+        ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype)
+        V = jnp.asarray(V0, dtype=dtype)
+        Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
+             else jnp.zeros((0, k), dtype=dtype))
+        block, loss_fn = _make_rows_block(cfg, mesh, solver,
+                                          _shard_specs_rows(ops))
+        state = (ops, U_pad, V, Z)
+        state, n_iter, losses, iters, times = run_solver_loop(
+            block, state, hyper, rng, max_iter=max_iter, tol=tol,
+            eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
+        _, U, V, Z = state
+        return U[:n], V, Z, n_iter, losses, iters, times
+
+    if layout == "cols":
+        if solver != "mu":
+            raise NotImplementedError(
+                "layout='cols' currently supports solver='mu'; use "
+                "layout='rows' for Newton")
+        Xd, Xtd, Yd, V_pad, m = _prepare_cols(X, Y, V0, d, dtype)
+        U = jnp.asarray(U0, dtype=dtype)
+        Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
+             else jnp.zeros((0, k), dtype=dtype))
+        specs = (P(AXIS) if is_sparse(Xd) else P(None, AXIS),
+                 P(AXIS) if Xtd is not None and is_sparse(Xtd) else None,
+                 None if Yd is None else P(AXIS, None))
+        block, loss_fn = _make_cols_block(cfg, mesh, specs)
+        state = (Xd, Xtd, Yd, U, V_pad, Z)
+        state, n_iter, losses, iters, times = run_solver_loop(
+            block, state, hyper, rng, max_iter=max_iter, tol=tol,
+            eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
+        _, _, _, U, V, Z = state
+        return U, V[:m], Z, n_iter, losses, iters, times
+
+    raise ValueError(f"layout must be 'rows' or 'cols', got {layout!r}")

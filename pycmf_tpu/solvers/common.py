@@ -70,27 +70,33 @@ def make_hyper(alpha=0.0, l1_ratio=0.0, eps=1e-10, hessian_pertubation=0.2,
 
 
 class Coupled(NamedTuple):
-    """A data matrix plus (for CSR) its precomputed transpose.
+    """A data matrix plus precomputed fit-time constants.
 
-    Dense matrices carry ``At=None`` — XLA contracts transposed operands
-    natively via dot_general, no materialization needed. CSR transposes are
-    built once on the host at fit time (sparsity is iteration-invariant).
+    Dense matrices carry only ``A`` — XLA contracts transposed operands
+    natively via dot_general, no materialization needed. For CSR, the
+    transpose, the Pallas tiled layouts (SURVEY.md §7 stage 5), and the
+    per-row squared norms (Newton line search) are built once on the host
+    at fit time — the sparsity pattern is iteration-invariant.
     """
 
     A: Any
     At: Any = None
+    A_tiled: Any = None      # tuple of TiledCsr column chunks (Pallas path)
+    At_tiled: Any = None
+    row_sq: Any = None       # (p,) per-row ‖aᵢ‖² of A
+    row_sq_t: Any = None     # (q,) per-row norms of Aᵀ
 
 
 def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
                use_pallas: bool = False) -> jnp.ndarray:
     """C.A @ B (or C.Aᵀ @ B) for dense or CSR operands."""
     if is_sparse(C.A):
-        mat = C.At if transpose else C.A
-        if use_pallas:
-            from ..ops.pallas.spmm import spmm_pallas
+        tiled = C.At_tiled if transpose else C.A_tiled
+        if use_pallas and tiled is not None:
+            from ..ops.pallas.spmm import spmm_chunks
 
-            return spmm_pallas(mat, B)
-        return spmm(mat, B)
+            return spmm_chunks(tiled, B)
+        return spmm(C.At if transpose else C.A, B)
     a = C.A.T if transpose else C.A
     return matmul(a, B)
 

@@ -83,8 +83,11 @@ def _make_loss(cfg: SolverConfig):
     def loss_fn(state, hyper: Hyper):
         X, Y, U, V, Z = state
         YA = Y.A if cfg.has_Y else None
+        xt = X.A_tiled if cfg.use_pallas else None
+        yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
-                          hyper.alpha, hyper.l1_ratio)
+                          hyper.alpha, hyper.l1_ratio,
+                          x_tiled=xt, y_tiled=yt)
 
     return loss_fn
 

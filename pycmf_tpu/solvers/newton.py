@@ -49,6 +49,19 @@ from ..ops.sparse import is_sparse, row_sq_norms, spmm
 from .common import Coupled, Hyper, SolverConfig, run_solver_loop
 
 
+class Term(NamedTuple):
+    """One coupled data term of a factor update: D ≈ f(M Bᵀ) row-wise.
+
+    tiled  : optional pre-tiled Pallas CSR chunks for D (fit-time constant)
+    row_sq : optional precomputed per-row ‖dᵢ‖² (fit-time constant)
+    """
+
+    D: object
+    B: object
+    tiled: object = None
+    row_sq: object = None
+
+
 class _LinearCtx(NamedTuple):
     """Candidate-independent quantities for a linear-link term's line search:
     φᵢ(m) = ½(‖dᵢ‖² − 2⟨(DB)ᵢ, m⟩ + mᵀ(BᵀB)m)."""
@@ -79,15 +92,26 @@ def _sample_columns(rng, D, B, mask, ratio: float):
 
 
 def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
-                     distributed: bool):
+                     distributed: bool, tiled=None, row_sq=None,
+                     use_pallas: bool = False):
     """Return (G_term (p,k), H_shared (k,k) | None, H_rows (p,k,k) | None,
     line-search ctx) for one coupled term."""
     if link == LINEAR:
         # Zero-padded B rows (sharding) contribute 0 to BtB/DB — no mask.
         BtB = gram(B)
-        DB = spmm(D, B) if is_sparse(D) else matmul(D, B)
+        if is_sparse(D):
+            if use_pallas and tiled is not None:
+                from ..ops.pallas.spmm import spmm_chunks
+
+                DB = spmm_chunks(tiled, B)
+            else:
+                DB = spmm(D, B)
+        else:
+            DB = matmul(D, B)
         G = matmul(M, BtB) - DB
-        row_sq = row_sq_norms(D) if is_sparse(D) else jnp.sum(D * D, axis=1)
+        if row_sq is None:
+            row_sq = (row_sq_norms(D) if is_sparse(D)
+                      else jnp.sum(D * D, axis=1))
         return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
 
     if is_sparse(D):
@@ -166,15 +190,19 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     H_rows_dist = None
     ctxs = []
 
-    for t, ((D, B), link, dist, mask) in enumerate(
+    for t, (term, link, dist, mask) in enumerate(
             zip(terms, links, distributed, masks)):
+        term = term if isinstance(term, Term) else Term(*term)
+        D, B, tiled, row_sq = term
         if sample_ratio < 1.0 and not is_sparse(D):
             key = jax.random.fold_in(rng, t)
             if dist and axis_name is not None:
                 key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             D, B, mask = _sample_columns(key, D, B, mask, sample_ratio)
+            tiled = row_sq = None  # sampled columns invalidate the caches
         G_t, H_sh_t, H_rw_t, ctx = _accumulate_term(
-            M, D, B, link, hessian_form, mask, dist)
+            M, D, B, link, hessian_form, mask, dist,
+            tiled=tiled, row_sq=row_sq, use_pallas=use_pallas)
         if dist:
             G_dist = G_dist + G_t
             if H_sh_t is not None:
@@ -252,19 +280,25 @@ def make_newton_step(cfg: SolverConfig):
 
         if cfg.update_U:
             U = newton_update_factor(
-                kU, U, ((X.A, V),), (cfg.x_link,), hyper,
+                kU, U, (Term(X.A, V, X.A_tiled, X.row_sq),),
+                (cfg.x_link,), hyper,
                 non_negative=cfg.U_non_negative, **common)
         if cfg.has_Y and cfg.update_Z:
-            Yt = Y.At if is_sparse(Y.A) else Y.A.T
+            if is_sparse(Y.A):
+                zterm = Term(Y.At, V, Y.At_tiled, Y.row_sq_t)
+            else:
+                zterm = Term(Y.A.T, V)
             Z = newton_update_factor(
-                kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
+                kZ, Z, (zterm,), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
-            Xt = X.At if is_sparse(X.A) else X.A.T
-            terms = ((Xt, U),)
+            if is_sparse(X.A):
+                terms = (Term(X.At, U, X.At_tiled, X.row_sq_t),)
+            else:
+                terms = (Term(X.A.T, U),)
             links = (cfg.x_link,)
             if cfg.has_Y:
-                terms = terms + ((Y.A, Z),)
+                terms = terms + (Term(Y.A, Z, Y.A_tiled, Y.row_sq),)
                 links = links + (cfg.y_link,)
             V = newton_update_factor(
                 kV, V, terms, links, hyper,
@@ -280,8 +314,11 @@ def _make_loss(cfg: SolverConfig):
     def loss_fn(state, hyper: Hyper):
         X, Y, U, V, Z = state
         YA = Y.A if cfg.has_Y else None
+        xt = X.A_tiled if cfg.use_pallas else None
+        yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
-                          hyper.alpha, hyper.l1_ratio)
+                          hyper.alpha, hyper.l1_ratio,
+                          x_tiled=xt, y_tiled=yt)
 
     return loss_fn
 

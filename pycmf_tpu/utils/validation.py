@@ -19,12 +19,55 @@ from ..ops.sparse import csr_transpose_host
 from ..solvers.common import Coupled
 
 
-def as_coupled(A, dtype, densify_threshold: int = 0) -> Coupled:
-    """Convert a host matrix to a device operand pair."""
-    if sp.issparse(A):
-        C, Ct = csr_transpose_host(A, dtype=dtype)
-        return Coupled(C, Ct)
-    return Coupled(jnp.asarray(np.asarray(A), dtype=dtype), None)
+# Densifying a sparse input below this many bytes (f32) is usually faster
+# than any sparse path on TPU (MXU matmul beats per-nnz work at CMF ranks).
+DENSIFY_THRESHOLD = 1 << 31  # 2 GB
+
+
+def as_coupled(A, dtype, use_pallas: bool = False,
+               sparse_mode: str = "auto",
+               densify_threshold: int = DENSIFY_THRESHOLD) -> Coupled:
+    """Convert a host matrix to device operands.
+
+    sparse_mode (TPU-first policy, not in the reference):
+      'auto'  — tiled-CSR Pallas layout when use_pallas, else densify if the
+                dense copy fits the threshold (XLA scatter-based segment ops
+                are pathologically slow on TPU), else segment-sum CSR.
+      'csr'   — always keep CSR (+ tiled layouts when use_pallas).
+      'dense' — always densify.
+    """
+    if not sp.issparse(A):
+        return Coupled(jnp.asarray(np.asarray(A), dtype=dtype))
+
+    mode = sparse_mode
+    if mode not in ("auto", "csr", "dense"):
+        raise ValueError(
+            f"sparse_mode must be 'auto', 'csr' or 'dense', got {mode!r}")
+    nbytes_dense = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
+    if mode == "auto":
+        if use_pallas:
+            mode = "csr"
+        else:
+            mode = "dense" if nbytes_dense <= densify_threshold else "csr"
+    if mode == "dense":
+        return Coupled(jnp.asarray(np.asarray(A.todense()), dtype=dtype))
+
+    C, Ct = csr_transpose_host(A, dtype=dtype)
+    A_tiled = At_tiled = None
+    if use_pallas:
+        from ..ops.pallas.spmm import tile_csr_chunks_host
+
+        Ah = sp.csr_matrix(A)
+        Aht = Ah.T.tocsr()
+        A_tiled = tile_csr_chunks_host(Ah.indptr, Ah.indices, Ah.data,
+                                       Ah.shape, dtype=dtype)
+        At_tiled = tile_csr_chunks_host(Aht.indptr, Aht.indices, Aht.data,
+                                        Aht.shape, dtype=dtype)
+    row_sq = jnp.asarray(
+        np.asarray(A.multiply(A).sum(axis=1)).ravel(), dtype=dtype)
+    row_sq_t = jnp.asarray(
+        np.asarray(A.multiply(A).sum(axis=0)).ravel(), dtype=dtype)
+    return Coupled(C, Ct, A_tiled, At_tiled, row_sq, row_sq_t)
 
 
 def check_matrix(A, name: str, *, require_non_negative: bool,

