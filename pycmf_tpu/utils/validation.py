@@ -30,9 +30,11 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     """Convert a host matrix to device operands.
 
     sparse_mode (TPU-first policy, not in the reference):
-      'auto'  — tiled-CSR Pallas layout when use_pallas, else densify if the
-                dense copy fits the threshold (XLA scatter-based segment ops
-                are pathologically slow on TPU), else segment-sum CSR.
+      'auto'  — densify when the dense copy fits the threshold: at CMF ranks
+                a dense MXU matmul beats per-nonzero work up to surprisingly
+                low densities, and XLA's scatter-based segment ops are
+                pathologically slow on TPU. Above the threshold, tiled-CSR
+                Pallas kernels (use_pallas) or segment-sum CSR.
       'csr'   — always keep CSR (+ tiled layouts when use_pallas).
       'dense' — always densify.
     """
@@ -45,10 +47,7 @@ def as_coupled(A, dtype, use_pallas: bool = False,
             f"sparse_mode must be 'auto', 'csr' or 'dense', got {mode!r}")
     nbytes_dense = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
     if mode == "auto":
-        if use_pallas:
-            mode = "csr"
-        else:
-            mode = "dense" if nbytes_dense <= densify_threshold else "csr"
+        mode = "dense" if nbytes_dense <= densify_threshold else "csr"
     if mode == "dense":
         return Coupled(jnp.asarray(np.asarray(A.todense()), dtype=dtype))
 
