@@ -141,10 +141,16 @@ def _prepare_rows(X, Y, U0, d, dtype):
 
 
 def _prepare_cols(X, Y, V0, d, dtype):
-    """Split the shared dimension m into d blocks (layout B)."""
+    """Split the shared dimension m into d blocks (layout B).
+
+    Returns (Xd, Xtd, Yd, V_pad, mask, m): mask is (m_pad,) with 1.0 on real
+    shared-dimension entries (sigmoid terms need it; linear terms are exact
+    no-ops under zero padding)."""
     n, m = X.shape
     m_loc = -(-m // d)
     m_pad = d * m_loc
+    mask = np.zeros((m_pad,), dtype=np.float64)
+    mask[:m] = 1.0
 
     if sp.issparse(X):
         Xc = sp.csc_matrix(X)
@@ -176,7 +182,8 @@ def _prepare_cols(X, Y, V0, d, dtype):
 
     V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
     V_pad[:m] = V0
-    return Xd, Xtd, Yd, jnp.asarray(V_pad, dtype=dtype), m
+    return (Xd, Xtd, Yd, jnp.asarray(V_pad, dtype=dtype),
+            jnp.asarray(mask, dtype=dtype), m)
 
 
 # ---------------------------------------------------------------------------
@@ -280,24 +287,36 @@ def _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
     return U, V, Z
 
 
-def _loss_cols(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
+def _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper):
     sparse_x = is_sparse(Xd)
     Xl = _local_csr(Xd) if sparse_x else Xd
-    if sparse_x:
-        a_sq = Xl.sq_norm
-        inner = jnp.sum(spmm(_local_csr(Xtd), U) * V)
+    if cfg.x_link == LINEAR:
+        if sparse_x:
+            a_sq = Xl.sq_norm
+            inner = jnp.sum(spmm(_local_csr(Xtd), U) * V)
+        else:
+            a_sq = jnp.sum(Xl * Xl)
+            inner = jnp.sum(matmul(Xl.T, U) * V)
+        gV = jax.lax.psum(gram(V), AXIS)
+        x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
+                        + jnp.sum(gram(U) * gV))
     else:
-        a_sq = jnp.sum(Xl * Xl)
-        inner = jnp.sum(matmul(Xl.T, U) * V)
-    gV = jax.lax.psum(gram(V), AXIS)
-    x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
-                    + jnp.sum(gram(U) * gV))
+        # X columns are sharded: elementwise sigmoid residual is local per
+        # column block; padded columns masked out (σ(0)=0.5 ≠ 0).
+        R = Xl - jax.nn.sigmoid(matmul(U, V.T))
+        x_term = 0.5 * jax.lax.psum(jnp.sum(R * R * mask[None, :]), AXIS)
     loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio)
     loss = loss + jax.lax.psum(penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
     if cfg.has_Y:
-        y_sq = jax.lax.psum(jnp.sum(Yd * Yd), AXIS)
-        y_inner = jax.lax.psum(jnp.sum(matmul(Yd.T, V) * Z), AXIS)
-        y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        if cfg.y_link == LINEAR:
+            gV = jax.lax.psum(gram(V), AXIS)
+            y_sq = jax.lax.psum(jnp.sum(Yd * Yd), AXIS)
+            y_inner = jax.lax.psum(jnp.sum(matmul(Yd.T, V) * Z), AXIS)
+            y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        else:
+            R = Yd - jax.nn.sigmoid(matmul(V, Z.T))
+            y_term = 0.5 * jax.lax.psum(
+                jnp.sum(mask[:, None] * R * R), AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
 
@@ -344,6 +363,46 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
         V = newton_update_factor(
             kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
             distributed=dist, masks=masks, axis_name=AXIS, **common)
+    return U, V, Z
+
+
+def _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper, rng):
+    """One Newton iteration, cols layout: the shared dimension m is sharded,
+    so V's update is fully LOCAL (its rows see local X columns and local Y
+    rows) while U's and Z's (g, H, φ) contributions are psummed — the
+    mirror image of the rows layout."""
+    kU, kZ, kV = jax.random.split(rng, 3)
+    common = dict(trials=cfg.line_search_trials,
+                  hessian_form=cfg.hessian_form,
+                  sample_ratio=cfg.sg_sample_ratio,
+                  use_pallas=cfg.use_pallas)
+    sparse_x = is_sparse(Xd)
+    Xl = _local_csr(Xd) if sparse_x else Xd
+    Xtl = _local_csr(Xtd) if sparse_x else Xl.T
+    xmask = mask if cfg.x_link != LINEAR else None
+    ymask = mask if cfg.y_link != LINEAR else None
+
+    if cfg.update_U:
+        U = newton_update_factor(
+            kU, U, ((Xl, V),), (cfg.x_link,), hyper,
+            non_negative=cfg.U_non_negative, distributed=(True,),
+            masks=(xmask,), axis_name=AXIS, **common)
+    if cfg.has_Y and cfg.update_Z:
+        Z = newton_update_factor(
+            kZ, Z, ((Yd.T, V),), (cfg.y_link,), hyper,
+            non_negative=cfg.Z_non_negative, distributed=(True,),
+            masks=(ymask,), axis_name=AXIS, **common)
+    if cfg.update_V:
+        kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
+        terms = ((Xtl, U),)
+        links = (cfg.x_link,)
+        if cfg.has_Y:
+            terms = terms + ((Yd, Z),)
+            links = links + (cfg.y_link,)
+        V = newton_update_factor(
+            kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
+            **common)
+        V = V * mask[:, None]   # keep padding rows exactly zero
     return U, V, Z
 
 
@@ -402,36 +461,45 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
     return block, jax.jit(loss_fn)
 
 
-def _make_cols_block(cfg: SolverConfig, mesh, ops_specs):
+def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
     x_spec, xt_spec, y_spec = ops_specs
-    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P())
+    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P(AXIS),
+                P(), P())
     out_specs = ((P(), P(AXIS, None), P()), P(), P())
 
-    def body(Xd, Xtd, Yd, U, V, Z, hyper, n_steps):
-        def one(_, fac):
-            return _mu_cols_iter(Xd, Xtd, Yd, *fac, cfg, hyper)
+    def body(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, n_steps):
+        def one(i, carry):
+            U, V, Z, key = carry
+            if solver == "mu":
+                U, V, Z = _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
+            else:
+                U, V, Z = _newton_cols_iter(
+                    Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper,
+                    jax.random.fold_in(key, i))
+            return U, V, Z, key
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_cols(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
-        return (U, V, Z), loss, None
+        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, one, (U, V, Z, rng))
+        rng, _ = jax.random.split(rng)
+        loss = _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper)
+        return (U, V, Z), loss, rng
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper, rng, n_steps):
-        Xd, Xtd, Yd, U, V, Z = state
+        Xd, Xtd, Yd, U, V, Z, mask = state
         sm = jax.shard_map(
             partial(body, n_steps=n_steps), mesh=mesh,
             in_specs=in_specs, out_specs=out_specs, check_vma=False)
-        (U, V, Z), loss, _ = sm(Xd, Xtd, Yd, U, V, Z, hyper)
-        return (Xd, Xtd, Yd, U, V, Z), loss, rng
+        (U, V, Z), loss, rng = sm(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng)
+        return (Xd, Xtd, Yd, U, V, Z, mask), loss, rng
 
     def loss_fn(state, hyper):
-        Xd, Xtd, Yd, U, V, Z = state
+        Xd, Xtd, Yd, U, V, Z, mask = state
         sm = jax.shard_map(
-            lambda Xd, Xtd, Yd, U, V, Z, h: _loss_cols(Xd, Xtd, Yd, U, V, Z,
-                                                       cfg, h),
-            mesh=mesh, in_specs=in_specs[:6] + (P(),), out_specs=P(),
+            lambda Xd, Xtd, Yd, U, V, Z, mask, h: _loss_cols(
+                Xd, Xtd, Yd, U, V, Z, mask, cfg, h),
+            mesh=mesh, in_specs=in_specs[:8], out_specs=P(),
             check_vma=False)
-        return sm(Xd, Xtd, Yd, U, V, Z, hyper)
+        return sm(Xd, Xtd, Yd, U, V, Z, mask, hyper)
 
     return block, jax.jit(loss_fn)
 
@@ -462,23 +530,19 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         return U[:n], V, Z, n_iter, losses, iters, times
 
     if layout == "cols":
-        if solver != "mu":
-            raise NotImplementedError(
-                "layout='cols' currently supports solver='mu'; use "
-                "layout='rows' for Newton")
-        Xd, Xtd, Yd, V_pad, m = _prepare_cols(X, Y, V0, d, dtype)
+        Xd, Xtd, Yd, V_pad, mask, m = _prepare_cols(X, Y, V0, d, dtype)
         U = jnp.asarray(U0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
         specs = (P(AXIS) if is_sparse(Xd) else P(None, AXIS),
                  P(AXIS) if Xtd is not None and is_sparse(Xtd) else None,
                  None if Yd is None else P(AXIS, None))
-        block, loss_fn = _make_cols_block(cfg, mesh, specs)
-        state = (Xd, Xtd, Yd, U, V_pad, Z)
+        block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
+        state = (Xd, Xtd, Yd, U, V_pad, Z, mask)
         state, n_iter, losses, iters, times = run_solver_loop(
             block, state, hyper, rng, max_iter=max_iter, tol=tol,
             eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
-        _, _, _, U, V, Z = state
+        _, _, _, U, V, Z, _ = state
         return U, V[:m], Z, n_iter, losses, iters, times
 
     raise ValueError(f"layout must be 'rows' or 'cols', got {layout!r}")

@@ -15,6 +15,7 @@ from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.links import LINEAR, check_link
 from ..ops.matmul import matmul
@@ -140,6 +141,13 @@ def run_solver_loop(block_fn, state, hyper, rng, *, max_iter: int, tol: float,
         loss = float(loss)
         step_times.append(time.perf_counter() - t0)
         n_iter += n_steps
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite loss ({loss}) at iteration {n_iter}; this "
+                "usually means the problem scale overflows the compute "
+                "dtype — try dtype='float32'→'float64' (CPU), a larger "
+                "hessian_pertubation (Newton), or alpha-regularization. "
+                f"History so far: {loss_history}")
         loss_history.append(loss)
         loss_iters.append(n_iter)
         if verbose:

@@ -90,6 +90,28 @@ class TestNewtonStepGolden:
         assert np.allclose(V1, V2, rtol=1e-8, atol=1e-10)
 
 
+class TestNewtonTrajectoryGolden:
+    def test_10_iter_trajectory_matches_numpy(self, rng):
+        """Multi-iteration loss-trajectory parity vs the independent NumPy
+        oracle in float64 (the BASELINE 1e-5 bar, SURVEY.md §4b)."""
+        X, Y = make_problem(rng, non_negative=False, binary_y=True)
+        U0, V0, Z0 = _factors(rng, *X.shape, Y.shape[1], 4, False)
+        m = CMF(n_components=4, solver="newton", y_link="sigmoid",
+                U_non_negative=False, V_non_negative=False,
+                Z_non_negative=False, dtype="float64", max_iter=10, tol=0.0,
+                eval_every=2, alpha=0.02, l1_ratio=0.1,
+                line_search_trials=6)
+        m.fit(X, Y, U=U0, V=V0, Z=Z0)
+        _, _, _, _, hist = numpy_cmf.run_newton(
+            X, Y, U0.copy(), V0.copy(), Z0.copy(), max_iter=10, tol=0.0,
+            eval_every=2, alpha=0.02, l1_ratio=0.1, y_link="sigmoid",
+            non_negative=(False,) * 3, trials=6)
+        ours = np.array(m.loss_history_)
+        ref = np.array(hist)
+        assert ours.shape == ref.shape
+        assert np.allclose(ours, ref, rtol=1e-7)
+
+
 class TestNewtonBehavior:
     def test_loss_decreases(self, problem):
         X, Y = problem

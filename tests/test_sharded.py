@@ -95,11 +95,43 @@ class TestColsLayout:
         assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
 
-    def test_newton_cols_raises(self, rng):
-        X, Y = make_problem(rng)
-        with pytest.raises(NotImplementedError, match="rows"):
-            CMF(n_components=4, solver="newton", n_shards=8,
-                shard_layout="cols", max_iter=3).fit(X, Y)
+    def test_newton_linear_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=40, m=67)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
+                           max_iter=8)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
+
+    def test_newton_sigmoid_y_padded_matches_single_device(self, rng):
+        """m % 8 != 0 with sigmoid Y exercises the shared-dim padding masks
+        in the cols layout (Y rows and V rows are padded)."""
+        X, Y = make_problem(rng, n=40, m=61, non_negative=False,
+                            binary_y=True)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
+                           max_iter=6, y_link="sigmoid",
+                           U_non_negative=False, V_non_negative=False,
+                           Z_non_negative=False)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-6, atol=1e-8)
+
+    def test_newton_sigmoid_x_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=24, m=61, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
+                           max_iter=5, x_link="sigmoid",
+                           U_non_negative=False, V_non_negative=False,
+                           Z_non_negative=False)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-6, atol=1e-8)
+
+    def test_newton_sparse_matches_single_device(self, rng):
+        X, Y = make_problem(rng, n=40, m=67, sparse=True)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
+                           max_iter=6)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
 
 class TestShardingInfra:
