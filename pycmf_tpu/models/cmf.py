@@ -294,6 +294,22 @@ class CMF(BaseEstimator, TransformerMixin):
                                               hyper, rng, **kw)
         return np.asarray(jax.device_get(Uf), dtype=np.float64)
 
+    @property
+    def components_(self):
+        """sklearn-NMF-style components (k × m): X ≈ transform(X) @ components_."""
+        if not hasattr(self, "V_"):
+            raise AttributeError("components_ is only available after fit")
+        return self.V_.T
+
+    def inverse_transform(self, U):
+        """Reconstruct X rows from factor rows: f_x(U Vᵀ)."""
+        if not hasattr(self, "V_"):
+            raise RuntimeError("inverse_transform called before fit")
+        T = np.asarray(U) @ self.V_.T
+        if self.x_link == "sigmoid":
+            return 1.0 / (1.0 + np.exp(-T))
+        return T
+
     # -- analysis helpers (SURVEY.md §2 component 5, §3.5) -----------------
 
     def print_topic_terms(self, vectorizer=None, vocabulary=None,

@@ -151,6 +151,34 @@ class TestTransform:
         assert Unew.shape == (10, 4)
 
 
+class TestSklearnCompat:
+    def test_components_and_inverse_transform(self, rng):
+        X, Y = make_problem(rng, noise=0.001)
+        m = CMF(n_components=4, random_state=0, max_iter=300, tol=1e-8)
+        U, V, Z = m.fit_transform(X, Y)
+        assert m.components_.shape == (4, X.shape[1])
+        Xr = m.inverse_transform(U)
+        assert Xr.shape == X.shape
+        rel = np.linalg.norm(X - Xr) / np.linalg.norm(X)
+        assert rel < 0.05
+
+    def test_components_before_fit_raises(self):
+        with pytest.raises(AttributeError):
+            CMF(n_components=2).components_
+
+    def test_pipeline_usage(self, rng):
+        """CMF as a transformer in an sklearn pipeline (single-matrix)."""
+        from sklearn.pipeline import Pipeline
+
+        X = np.abs(rng.randn(40, 25))
+        pipe = Pipeline([("cmf", CMF(n_components=3, random_state=0,
+                                     max_iter=30))])
+        U = pipe.fit_transform(X)
+        # fit_transform returns the factor tuple; transform returns U
+        U2 = pipe.transform(X)
+        assert U2.shape == (40, 3)
+
+
 class TestAnalysis:
     def test_print_topic_terms(self, problem, capsys):
         X, Y = problem
