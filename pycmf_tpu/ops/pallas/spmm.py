@@ -225,7 +225,10 @@ def tile_csr_chunks_host(indptr, indices, data, shape,
 
 
 def spmm_chunks(chunks, B: jnp.ndarray) -> jnp.ndarray:
-    """Σ_c chunk_c @ B[lo_c : lo_c+q_c] — the chunked tiled SpMM."""
+    """Σ_c chunk_c @ B[lo_c : lo_c+q_c] — the chunked tiled SpMM.
+    Accepts a bare TiledCsr as a single chunk."""
+    if isinstance(chunks, TiledCsr):
+        chunks = (chunks,)
     out = None
     for T in chunks:
         lo = T.col_offset
@@ -236,6 +239,8 @@ def spmm_chunks(chunks, B: jnp.ndarray) -> jnp.ndarray:
 
 def sddmm_rowdots_chunks(chunks, M: jnp.ndarray, B: jnp.ndarray
                          ) -> jnp.ndarray:
+    if isinstance(chunks, TiledCsr):
+        chunks = (chunks,)
     out = None
     for T in chunks:
         lo = T.col_offset

@@ -89,6 +89,41 @@ def _local_csr(stk: CsrMatrix) -> CsrMatrix:
                      stk.row_ids[0], stk.sq_norm[0], stk.shape)
 
 
+def _stack_tiled_blocks(blocks, dtype, block_rows: int = 128):
+    """Per-shard TiledCsr layouts, stacked on a leading device dim.
+
+    All shards are padded to the same (nb, L) so the stacked arrays are
+    rectangular; the padded entries are exact no-ops (data 0)."""
+    from ..ops.pallas.spmm import TiledCsr, tile_csr_host
+
+    tiles = []
+    for b in blocks:
+        b = sp.csr_matrix(b)
+        tiles.append(tile_csr_host(b.indptr, b.indices, b.data, b.shape,
+                                   block=block_rows, dtype=dtype))
+    nb = max(t.rows.shape[0] for t in tiles)
+    L = max(t.rows.shape[1] for t in tiles)
+    R = tiles[0].block
+
+    def padt(a, fill):
+        a = np.asarray(jax.device_get(a))
+        return np.pad(a, ((0, nb - a.shape[0]), (0, L - a.shape[1])),
+                      constant_values=fill)
+
+    rows = np.stack([padt(t.rows, R - 1) for t in tiles])
+    cols = np.stack([padt(t.cols, 0) for t in tiles])
+    data = np.stack([padt(t.data, 0) for t in tiles])
+    return TiledCsr(jnp.asarray(rows), jnp.asarray(cols),
+                    jnp.asarray(data, dtype=dtype), tiles[0].shape, R)
+
+
+def _local_tiled(stk):
+    from ..ops.pallas.spmm import TiledCsr
+
+    return TiledCsr(stk.rows[0], stk.cols[0], stk.data[0], stk.shape,
+                    stk.block, stk.col_offset)
+
+
 class _RowOperands(NamedTuple):
     """Device operands for the rows layout (leading dims sharded over AXIS)."""
     X: object            # dense (n_pad, m) | stacked CsrMatrix (d, ...)
@@ -96,15 +131,22 @@ class _RowOperands(NamedTuple):
     Y: object            # replicated dense (m, r) | CsrMatrix | None
     Yt: object
     mask: jnp.ndarray    # (n_pad,) 1.0 on real rows
+    X_tiled: object = None   # stacked TiledCsr (Pallas path) or None
+    Xt_tiled: object = None
+    row_sq: object = None    # (n_pad,) per-row ‖xᵢ‖² (Newton line search)
+    row_sq_t: object = None  # (d, m) per-shard col-block norms of Xᵀ rows
 
 
-def _prepare_rows(X, Y, U0, d, dtype):
+def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     """Split X by rows into d blocks; pad; build transposes per block."""
+    from ..ops.pallas.spmm import b_fits_vmem
+
     n, m = X.shape
     n_loc = -(-n // d)
     n_pad = d * n_loc
     mask = np.zeros((n_pad,), dtype=np.float64)
     mask[:n] = 1.0
+    X_tiled = Xt_tiled = None
 
     if sp.issparse(X):
         X = sp.csr_matrix(X)
@@ -118,6 +160,13 @@ def _prepare_rows(X, Y, U0, d, dtype):
             tblocks.append(blk.T.tocsr())
         Xd = _stack_csr_blocks(blocks, dtype)
         Xtd = _stack_csr_blocks(tblocks, dtype)
+        if use_pallas:
+            # single-chunk tiled layouts (fall back to segment ops when the
+            # dense operand would overflow VMEM; chunking TODO for huge m)
+            if b_fits_vmem(m):
+                X_tiled = _stack_tiled_blocks(blocks, dtype)
+            if b_fits_vmem(n_loc):
+                Xt_tiled = _stack_tiled_blocks(tblocks, dtype)
     else:
         Xh = np.zeros((n_pad, m), dtype=np.float64)
         Xh[:n] = np.asarray(X)
@@ -134,10 +183,26 @@ def _prepare_rows(X, Y, U0, d, dtype):
         Yd = jnp.asarray(np.asarray(Y), dtype=dtype)
         Ytd = None
 
+    # fit-time per-row norms (constant across iterations)
+    if sp.issparse(X):
+        rs = np.zeros((n_pad,))
+        rs[:n] = np.asarray(X.multiply(X).sum(axis=1)).ravel()
+        rst = np.stack([
+            np.asarray(b.multiply(b).sum(axis=0)).ravel() for b in blocks])
+    else:
+        Xh_np = np.asarray(jax.device_get(Xd), dtype=np.float64)
+        rs = (Xh_np ** 2).sum(axis=1)
+        rst = np.stack([
+            (Xh_np[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
+            for i in range(d)])
+
     U_pad = np.zeros((n_pad, U0.shape[1]), dtype=np.float64)
     U_pad[:n] = U0
-    return _RowOperands(Xd, Xtd, Yd, Ytd, jnp.asarray(mask, dtype=dtype)), \
-        jnp.asarray(U_pad, dtype=dtype), n
+    ops = _RowOperands(Xd, Xtd, Yd, Ytd, jnp.asarray(mask, dtype=dtype),
+                       X_tiled, Xt_tiled,
+                       jnp.asarray(rs, dtype=dtype),
+                       jnp.asarray(rst, dtype=dtype))
+    return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
 def _prepare_cols(X, Y, V0, d, dtype):
@@ -198,7 +263,13 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
         if is_sparse(ops.X):
             Xl = _local_csr(ops.X)
             a_sq = Xl.sq_norm
-            inner = sddmm_dot(Xl, U, V)
+            if cfg.use_pallas and ops.X_tiled is not None:
+                from ..ops.pallas.spmm import sddmm_rowdots_tiled
+
+                inner = jnp.sum(sddmm_rowdots_tiled(
+                    _local_tiled(ops.X_tiled), U, V))
+            else:
+                inner = sddmm_dot(Xl, U, V)
         else:
             a_sq = jnp.sum(ops.X * ops.X)
             inner = jnp.sum(matmul(ops.X, V) * U)
@@ -224,17 +295,29 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 
+def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
+    """X_loc @ B (or X_locᵀ @ B) with the fastest available sparse path."""
+    if not is_sparse(ops.X):
+        Xl = ops.X
+        return matmul(Xl.T if transpose else Xl, B)
+    tiled = ops.Xt_tiled if transpose else ops.X_tiled
+    if cfg.use_pallas and tiled is not None:
+        from ..ops.pallas.spmm import spmm_tiled
+
+        return spmm_tiled(_local_tiled(tiled), B)
+    return spmm(_local_csr(ops.Xt if transpose else ops.X), B)
+
+
 def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
     """One MU iteration, rows layout. psums: XᵀU and UᵀU (shared-V terms)."""
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
-    Xl = _local_csr(ops.X) if is_sparse(ops.X) else ops.X
     up = cfg.use_pallas
 
     if cfg.update_U:
         VtV = gram(V)
-        num = spmm(Xl, V) if is_sparse(ops.X) else matmul(Xl, V)
+        num = _rows_x_mm(ops, V, cfg)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
     if cfg.has_Y and cfg.update_Z:
         VtV = gram(V)
@@ -244,10 +327,7 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
             num = matmul(ops.Y.T, V)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
     if cfg.update_V:
-        if is_sparse(ops.X):
-            xtu = spmm(_local_csr(ops.Xt), U)
-        else:
-            xtu = matmul(Xl.T, U)
+        xtu = _rows_x_mm(ops, U, cfg, transpose=True)
         num = jax.lax.psum(xtu, AXIS)                # shared-V all-reduce
         S = jax.lax.psum(gram(U), AXIS)
         if cfg.has_Y:
@@ -335,13 +415,20 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
-    Xl = _local_csr(ops.X) if is_sparse(ops.X) else ops.X
+    from ..solvers.newton import Term
+
+    sparse_x = is_sparse(ops.X)
+    Xl = _local_csr(ops.X) if sparse_x else ops.X
+    X_tl = (None if not (cfg.use_pallas and ops.X_tiled is not None)
+            else _local_tiled(ops.X_tiled))
+    Xt_tl = (None if not (cfg.use_pallas and ops.Xt_tiled is not None)
+             else _local_tiled(ops.Xt_tiled))
 
     if cfg.update_U:
         # Local rows — no communication. Per-shard sample keys.
         kU = jax.random.fold_in(kU, jax.lax.axis_index(AXIS))
         U = newton_update_factor(
-            kU, U, ((Xl, V),), (cfg.x_link,), hyper,
+            kU, U, (Term(Xl, V, X_tl, ops.row_sq),), (cfg.x_link,), hyper,
             non_negative=cfg.U_non_negative, **common)
         U = U * mask[:, None]   # keep padding rows exactly zero
     if cfg.has_Y and cfg.update_Z:
@@ -350,8 +437,8 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
             kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
             non_negative=cfg.Z_non_negative, **common)
     if cfg.update_V:
-        Xtl = _local_csr(ops.Xt) if is_sparse(ops.X) else Xl.T
-        terms = ((Xtl, U),)
+        Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
+        terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
         links = (cfg.x_link,)
         dist = (True,)
         masks = (mask if cfg.x_link != LINEAR else None,)
@@ -416,7 +503,10 @@ def _shard_specs_rows(ops: _RowOperands):
     xt_spec = None if ops.Xt is None else P(AXIS)
     y_spec = None if ops.Y is None else P()
     yt_spec = None if ops.Yt is None else P()
-    return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS))
+    xtl_spec = None if ops.X_tiled is None else P(AXIS)
+    xttl_spec = None if ops.Xt_tiled is None else P(AXIS)
+    return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS),
+                        xtl_spec, xttl_spec, P(AXIS), P(AXIS))
 
 
 def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
@@ -516,7 +606,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
     k = U0.shape[1]
 
     if layout == "rows":
-        ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype)
+        ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype,
+                                      use_pallas=cfg.use_pallas)
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
