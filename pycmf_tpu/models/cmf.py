@@ -86,7 +86,7 @@ class CMF(BaseEstimator, TransformerMixin):
                  sg_sample_ratio=1.0, eps=1e-10, dtype="float32",
                  eval_every=10, use_pallas=None, hessian_form="gauss",
                  line_search_trials=8, n_shards=None, shard_layout="rows",
-                 sparse_mode="auto"):
+                 sparse_mode="auto", loop="auto"):
         self.n_components = n_components
         self.solver = solver
         self.alpha = alpha
@@ -113,8 +113,19 @@ class CMF(BaseEstimator, TransformerMixin):
         self.n_shards = n_shards
         self.shard_layout = shard_layout
         self.sparse_mode = sparse_mode
+        self.loop = loop
 
     # -- internals --------------------------------------------------------
+
+    def _resolve_loop(self):
+        """'auto' → fully device-resident tol loop on TPU (one dispatch per
+        fit; the host loop pays a device-link round trip per eval point),
+        host loop elsewhere (better for debugging/verbose)."""
+        if self.loop == "auto":
+            return "device" if jax.default_backend() == "tpu" else "host"
+        if self.loop not in ("host", "device"):
+            raise ValueError("loop must be 'auto', 'host' or 'device'")
+        return self.loop
 
     def _resolve_use_pallas(self):
         """None → auto: kernels on TPU, jnp oracle elsewhere (interpret
@@ -174,7 +185,8 @@ class CMF(BaseEstimator, TransformerMixin):
         hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
                            self.hessian_pertubation, dtype=U0.dtype)
         kw = dict(max_iter=self.max_iter, tol=self.tol,
-                  eval_every=self.eval_every, verbose=self.verbose)
+                  eval_every=self.eval_every, verbose=self.verbose,
+                  loop=self._resolve_loop())
         if self.solver == "mu":
             return run_mu(Xc, Yc, U0, V0, Z0, cfg, hyper, **kw)
         return run_newton(Xc, Yc, U0, V0, Z0, cfg, hyper, rng, **kw)
@@ -285,7 +297,8 @@ class CMF(BaseEstimator, TransformerMixin):
         rng = jax.random.PRNGKey(
             self.random_state if isinstance(self.random_state, int) else 0)
         kw = dict(max_iter=self.max_iter, tol=self.tol,
-                  eval_every=self.eval_every, verbose=self.verbose)
+                  eval_every=self.eval_every, verbose=self.verbose,
+                  loop=self._resolve_loop())
         if self.solver == "mu":
             Uf, _, _, _, _, _, _ = run_mu(Xc, None, U0, V0, Z0, cfg, hyper,
                                           **kw)

@@ -42,10 +42,15 @@ _VMEM_B_BUDGET = 12 * 1024 * 1024
 class TiledCsr:
     """Row-block-padded CSR for the Pallas kernels (static shapes).
 
-    rows : (nb, L) int32 — row index *within the block* of each nonzero
-    cols : (nb, L) int32 — column index
-    data : (nb, L) float — value (0 for padding)
+    rows : (nb, S, 128) int32 — row index *within the block* of each nonzero
+    cols : (nb, S, 128) int32 — column index
+    data : (nb, S, 128) float — value (0 for padding)
     shape: static (p, q); block: static row-block size R
+
+    The per-block nonzero stream is laid out (S, 128) with S a multiple of 8
+    so VMEM blocks satisfy the TPU (8, 128) tiling constraint; the kernels
+    walk it with a dynamic sublane index and a statically unrolled lane
+    index (dynamic lane indexing does not lower on TPU).
     """
 
     rows: jnp.ndarray
@@ -75,9 +80,12 @@ def tile_csr_host(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     counts = [int(indptr[min((b + 1) * block, p)] - indptr[min(b * block, p)])
               for b in range(nb)]
     L = max(1, max(counts))
-    rows = np.full((nb, L), block - 1, dtype=np.int32)
-    cols = np.zeros((nb, L), dtype=np.int32)
-    vals = np.zeros((nb, L), dtype=np.float64)
+    lanes_needed = -(-L // 128)                    # ceil(L / 128)
+    S = max(8, -(-lanes_needed // 8) * 8)          # round up to sublane mult
+    L_pad = S * 128
+    rows = np.full((nb, L_pad), block - 1, dtype=np.int32)
+    cols = np.zeros((nb, L_pad), dtype=np.int32)
+    vals = np.zeros((nb, L_pad), dtype=np.float64)
     row_of_nnz = np.repeat(np.arange(p, dtype=np.int64), np.diff(indptr))
     for b in range(nb):
         lo = int(indptr[min(b * block, p)])
@@ -86,6 +94,9 @@ def tile_csr_host(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         rows[b, :c] = (row_of_nnz[lo:hi] - b * block).astype(np.int32)
         cols[b, :c] = indices[lo:hi]
         vals[b, :c] = data[lo:hi]
+    rows = rows.reshape(nb, S, 128)
+    cols = cols.reshape(nb, S, 128)
+    vals = vals.reshape(nb, S, 128)
     return TiledCsr(jnp.asarray(rows), jnp.asarray(cols),
                     jnp.asarray(vals, dtype=dtype), (p, q), block,
                     col_offset)
@@ -104,31 +115,53 @@ def _interp() -> bool:
 
 def _spmm_kernel(rows_ref, cols_ref, data_ref, b_ref, out_ref):
     out_ref[:] = jnp.zeros_like(out_ref)
-    L = rows_ref.shape[1]
+    S = rows_ref.shape[1]
+
+    def body(s, _):
+        # dynamic sublane s, statically unrolled lanes j (TPU-legal indexing)
+        for j in range(128):
+            r = rows_ref[0, s, j]
+            c = cols_ref[0, s, j]
+            d = data_ref[0, s, j]
+            out_ref[pl.ds(r, 1), :] += d * b_ref[pl.ds(c, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+def _spmm_kernel_interp(rows_ref, cols_ref, data_ref, b_ref, out_ref):
+    """Interpreter-mode variant: flat fori_loop (dynamic lane indexing is
+    fine off-TPU and ~128× cheaper to trace/run than the unrolled body)."""
+    out_ref[:] = jnp.zeros_like(out_ref)
+    S = rows_ref.shape[1]
 
     def body(i, _):
-        r = rows_ref[0, i]
-        c = cols_ref[0, i]
-        d = data_ref[0, i]
+        s, j = i // 128, i % 128
+        r = rows_ref[0, s, j]
+        c = cols_ref[0, s, j]
+        d = data_ref[0, s, j]
         out_ref[pl.ds(r, 1), :] += d * b_ref[pl.ds(c, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, L, body, 0)
+    jax.lax.fori_loop(0, S * 128, body, 0)
 
 
 def spmm_tiled(T: TiledCsr, B: jnp.ndarray) -> jnp.ndarray:
     """T @ B → (p, k). B must fit in VMEM (checked by the caller)."""
     p, q = T.shape
     k = B.shape[1]
-    nb, L = T.rows.shape
+    nb, S, _ = T.rows.shape
     R = T.block
     out = pl.pallas_call(
-        _spmm_kernel,
+        _spmm_kernel_interp if _interp() else _spmm_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B.shape[0], k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -142,17 +175,35 @@ def spmm_tiled(T: TiledCsr, B: jnp.ndarray) -> jnp.ndarray:
 
 def _sddmm_kernel(rows_ref, cols_ref, data_ref, m_ref, b_ref, out_ref):
     out_ref[:] = jnp.zeros_like(out_ref)
-    L = rows_ref.shape[1]
+    S = rows_ref.shape[1]
+
+    def body(s, _):
+        for j in range(128):
+            r = rows_ref[0, s, j]
+            c = cols_ref[0, s, j]
+            d = data_ref[0, s, j]
+            e = jnp.sum(m_ref[pl.ds(r, 1), :] * b_ref[pl.ds(c, 1), :])
+            out_ref[pl.ds(r, 1), 0] += d * e
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+def _sddmm_kernel_interp(rows_ref, cols_ref, data_ref, m_ref, b_ref,
+                         out_ref):
+    out_ref[:] = jnp.zeros_like(out_ref)
+    S = rows_ref.shape[1]
 
     def body(i, _):
-        r = rows_ref[0, i]
-        c = cols_ref[0, i]
-        d = data_ref[0, i]
+        s, j = i // 128, i % 128
+        r = rows_ref[0, s, j]
+        c = cols_ref[0, s, j]
+        d = data_ref[0, s, j]
         e = jnp.sum(m_ref[pl.ds(r, 1), :] * b_ref[pl.ds(c, 1), :])
         out_ref[pl.ds(r, 1), 0] += d * e
         return 0
 
-    jax.lax.fori_loop(0, L, body, 0)
+    jax.lax.fori_loop(0, S * 128, body, 0)
 
 
 def sddmm_rowdots_tiled(T: TiledCsr, M: jnp.ndarray, B: jnp.ndarray
@@ -160,16 +211,19 @@ def sddmm_rowdots_tiled(T: TiledCsr, M: jnp.ndarray, B: jnp.ndarray
     """Per-row Σ_nnz a_ij · (M[i]·B[j]) → (p,) without densifying."""
     p, q = T.shape
     k = B.shape[1]
-    nb, L = T.rows.shape
+    nb, S, _ = T.rows.shape
     R = T.block
     Mp = jnp.pad(M, ((0, nb * R - p), (0, 0)))
     out = pl.pallas_call(
-        _sddmm_kernel,
+        _sddmm_kernel_interp if _interp() else _sddmm_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B.shape[0], k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

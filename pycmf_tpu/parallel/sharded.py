@@ -102,13 +102,13 @@ def _stack_tiled_blocks(blocks, dtype, block_rows: int = 128):
         tiles.append(tile_csr_host(b.indptr, b.indices, b.data, b.shape,
                                    block=block_rows, dtype=dtype))
     nb = max(t.rows.shape[0] for t in tiles)
-    L = max(t.rows.shape[1] for t in tiles)
+    S = max(t.rows.shape[1] for t in tiles)
     R = tiles[0].block
 
     def padt(a, fill):
         a = np.asarray(jax.device_get(a))
-        return np.pad(a, ((0, nb - a.shape[0]), (0, L - a.shape[1])),
-                      constant_values=fill)
+        return np.pad(a, ((0, nb - a.shape[0]), (0, S - a.shape[1]),
+                          (0, 0)), constant_values=fill)
 
     rows = np.stack([padt(t.rows, R - 1) for t in tiles])
     cols = np.stack([padt(t.cols, 0) for t in tiles])

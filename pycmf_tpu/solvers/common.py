@@ -112,6 +112,99 @@ class FitResult(NamedTuple):
     step_times: List[float]        # host wall-time per jitted block
 
 
+def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool):
+    """Build a fully device-resident fit: the eval/tol loop runs as a
+    lax.while_loop inside ONE jitted computation, so a whole fit costs a
+    single dispatch + readback (the host loop pays one round trip per
+    eval_every iterations — ruinous over a high-latency device link, and
+    wasteful even locally).
+
+    step_fn(X, Y, U, V, Z, hyper[, key]) → (U, V, Z)
+    loss_core(state, hyper) → scalar
+    Returns fit(X, Y, U, V, Z, hyper, rng, tol, max_iter, eval_every) →
+    (U, V, Z, n_iter, hist) with hist[j] = loss after j eval points
+    (NaN beyond the stop point). Stopping rule identical to the host loop:
+    (L_prev − L)/L_init < tol, checked every eval_every iterations.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("max_iter", "eval_every"))
+    def fit(X, Y, U, V, Z, hyper, rng, tol, max_iter: int, eval_every: int):
+        eval_every = max(1, min(eval_every, max_iter))
+        n_full = max_iter // eval_every
+        rem = max_iter - n_full * eval_every
+        n_slots = n_full + (2 if rem else 1)
+        dtype = U.dtype
+        L0 = loss_core((X, Y, U, V, Z), hyper)
+        hist0 = jnp.full((n_slots,), jnp.nan, dtype).at[0].set(L0)
+
+        def run_steps(U, V, Z, key, n, base):
+            def one(i, c):
+                U, V, Z, key = c
+                if carry_rng:
+                    U, V, Z = step_fn(X, Y, U, V, Z, hyper,
+                                      jax.random.fold_in(key, base + i))
+                else:
+                    U, V, Z = step_fn(X, Y, U, V, Z, hyper)
+                return U, V, Z, key
+            return jax.lax.fori_loop(0, n, one, (U, V, Z, key))
+
+        def cond(c):
+            i, stop = c[0], c[1]
+            return jnp.logical_and(jnp.logical_not(stop), i < n_full)
+
+        def body(c):
+            i, stop, U, V, Z, key, prev, hist = c
+            U, V, Z, key = run_steps(U, V, Z, key, eval_every,
+                                     i * eval_every)
+            loss = loss_core((X, Y, U, V, Z), hyper)
+            hist = hist.at[i + 1].set(loss)
+            stop = jnp.logical_and(L0 > 0, (prev - loss) / L0 < tol)
+            return i + 1, stop, U, V, Z, key, loss, hist
+
+        key0 = rng if carry_rng else jax.random.PRNGKey(0)
+        i, stop, U, V, Z, key, prev, hist = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0), jnp.asarray(False), U, V, Z, key0, L0, hist0))
+
+        n_iter = i * eval_every
+        if rem:
+            def with_rem(args):
+                U, V, Z, key, hist = args
+                U, V, Z, key = run_steps(U, V, Z, key, rem, n_full * eval_every)
+                loss = loss_core((X, Y, U, V, Z), hyper)
+                return U, V, Z, hist.at[i + 1].set(loss)
+
+            def without_rem(args):
+                U, V, Z, key, hist = args
+                return U, V, Z, hist
+
+            U, V, Z, hist = jax.lax.cond(
+                jnp.logical_not(stop), with_rem, without_rem,
+                (U, V, Z, key, hist))
+            n_iter = n_iter + jnp.where(stop, 0, rem)
+        return U, V, Z, n_iter, hist
+
+    return fit
+
+
+def finish_device_fit(result, eval_every: int, max_iter: int):
+    """Convert a device-fit result into host-side history lists."""
+    U, V, Z, n_iter, hist = result
+    n_iter = int(n_iter)
+    hist = np.asarray(jax.device_get(hist), dtype=np.float64)
+    losses = [float(v) for v in hist if np.isfinite(v)]
+    if losses and not np.isfinite(losses[-1]):
+        losses = losses  # pragma: no cover
+    eval_every = max(1, min(eval_every, max_iter))
+    iters = [0] + [min((j + 1) * eval_every, max_iter)
+                   for j in range(len(losses) - 1)]
+    if any(not np.isfinite(v) for v in losses):
+        raise FloatingPointError(
+            f"non-finite loss during device-resident fit: {losses}")
+    return U, V, Z, n_iter, losses, iters
+
+
 def run_solver_loop(block_fn, state, hyper, rng, *, max_iter: int, tol: float,
                     eval_every: int, verbose: int = 0,
                     initial_loss_fn=None) -> tuple:

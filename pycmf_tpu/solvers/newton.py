@@ -309,8 +309,7 @@ def make_newton_step(cfg: SolverConfig):
 
 
 @lru_cache(maxsize=None)
-def _make_loss(cfg: SolverConfig):
-    @jax.jit
+def _loss_core(cfg: SolverConfig):
     def loss_fn(state, hyper: Hyper):
         X, Y, U, V, Z = state
         YA = Y.A if cfg.has_Y else None
@@ -321,6 +320,11 @@ def _make_loss(cfg: SolverConfig):
                           x_tiled=xt, y_tiled=yt)
 
     return loss_fn
+
+
+@lru_cache(maxsize=None)
+def _make_loss(cfg: SolverConfig):
+    return jax.jit(_loss_core(cfg))
 
 
 @lru_cache(maxsize=None)
@@ -344,10 +348,37 @@ def _make_block(cfg: SolverConfig):
     return block
 
 
+@lru_cache(maxsize=None)
+def _make_device_fit(cfg: SolverConfig):
+    from .common import make_device_fit_loop
+
+    step = make_newton_step(cfg)
+
+    def step_fn(X, Y, U, V, Z, hyper, key):
+        return step(X, Y, U, V, Z, hyper, key)
+
+    return make_device_fit_loop(step_fn, _loss_core(cfg), carry_rng=True)
+
+
 def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
                rng, *, max_iter: int = 200, tol: float = 1e-4,
-               eval_every: int = 10, verbose: int = 0):
-    """Host loop for the Newton solver."""
+               eval_every: int = 10, verbose: int = 0, loop: str = "host"):
+    """Newton solver driver (loop semantics as in run_mu)."""
+    import time as _time
+
+    from .common import finish_device_fit
+
+    if loop == "device":
+        fitf = _make_device_fit(cfg)
+        tol_s = jnp.asarray(tol, U0.dtype)
+        t0 = _time.perf_counter()
+        out = fitf(X, Y, U0, V0, Z0, hyper, rng, tol_s, max_iter,
+                   eval_every)
+        U, V, Z, n_iter, losses, iters = finish_device_fit(
+            out, eval_every, max_iter)
+        return U, V, Z, n_iter, losses, iters, \
+            [_time.perf_counter() - t0]
+
     block = _make_block(cfg)
     loss_fn = _make_loss(cfg)
     state = (X, Y, U0, V0, Z0)

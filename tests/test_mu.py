@@ -75,6 +75,46 @@ class TestMuStepGolden:
         assert np.allclose(ours, ref, rtol=1e-7)
 
 
+class TestDeviceLoop:
+    """The device-resident while_loop driver must reproduce the host loop
+    exactly for MU (no rng), including early stopping and history."""
+
+    def test_device_loop_matches_host(self, rng):
+        X, Y = make_problem(rng)
+        U0, V0, Z0 = _factors(rng, *X.shape, Y.shape[1], 4)
+        kw = dict(n_components=4, solver="mu", dtype="float64", tol=1e-5,
+                  max_iter=100, eval_every=10)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+
+    def test_device_loop_remainder_block(self, rng):
+        X, Y = make_problem(rng)
+        U0, V0, Z0 = _factors(rng, *X.shape, Y.shape[1], 4)
+        kw = dict(n_components=4, solver="mu", dtype="float64", tol=0.0,
+                  max_iter=23, eval_every=10)  # 2 full blocks + rem 3
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_ == 23
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+
+    def test_device_loop_newton_converges(self, rng):
+        X, Y = make_problem(rng)
+        m = CMF(n_components=4, solver="newton", loop="device",
+                random_state=0, max_iter=20, tol=0.0)
+        m.fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0] * 0.5
+
+    def test_bad_loop_raises(self, problem):
+        X, Y = problem
+        import pytest
+
+        with pytest.raises(ValueError, match="loop"):
+            CMF(n_components=4, loop="banana").fit(X, Y)
+
+
 class TestMuBehavior:
     def test_loss_monotone_decrease(self, problem):
         X, Y = problem
