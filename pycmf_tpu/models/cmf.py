@@ -86,7 +86,7 @@ class CMF(BaseEstimator, TransformerMixin):
                  sg_sample_ratio=1.0, eps=1e-10, dtype="float32",
                  eval_every=10, use_pallas=None, hessian_form="gauss",
                  line_search_trials=8, n_shards=None, shard_layout="rows",
-                 sparse_mode="auto", loop="auto"):
+                 sparse_mode="auto", loop="auto", data_dtype=None):
         self.n_components = n_components
         self.solver = solver
         self.alpha = alpha
@@ -114,6 +114,7 @@ class CMF(BaseEstimator, TransformerMixin):
         self.shard_layout = shard_layout
         self.sparse_mode = sparse_mode
         self.loop = loop
+        self.data_dtype = data_dtype
 
     # -- internals --------------------------------------------------------
 
@@ -134,8 +135,8 @@ class CMF(BaseEstimator, TransformerMixin):
             return jax.default_backend() == "tpu"
         return bool(self.use_pallas)
 
-    def _resolve_dtype(self):
-        dt = self.dtype
+    def _resolve_dtype(self, which=None):
+        dt = which if which is not None else self.dtype
         if isinstance(dt, str):
             if dt not in _DTYPES:
                 raise ValueError(f"dtype must be one of {list(_DTYPES)}")
@@ -145,6 +146,14 @@ class CMF(BaseEstimator, TransformerMixin):
                 "dtype='float64' requires jax_enable_x64; call "
                 "jax.config.update('jax_enable_x64', True) first")
         return dt
+
+    def _resolve_data_dtype(self):
+        """Storage dtype for X/Y on device. data_dtype='bfloat16' halves
+        the HBM traffic of the data-matrix passes (the MU bottleneck) while
+        factors and all accumulation stay in ``dtype`` (float32)."""
+        if self.data_dtype is None:
+            return self._resolve_dtype()
+        return self._resolve_dtype(self.data_dtype)
 
     def _config(self, has_Y, update_U=True, update_V=True, update_Z=True):
         return SolverConfig(
@@ -231,9 +240,10 @@ class CMF(BaseEstimator, TransformerMixin):
                 eval_every=self.eval_every, verbose=self.verbose)
         else:
             up = self._resolve_use_pallas()
-            Xc = as_coupled(X, dt, use_pallas=up,
+            ddt = self._resolve_data_dtype()
+            Xc = as_coupled(X, ddt, use_pallas=up,
                             sparse_mode=self.sparse_mode)
-            Yc = (as_coupled(Y, dt, use_pallas=up,
+            Yc = (as_coupled(Y, ddt, use_pallas=up,
                              sparse_mode=self.sparse_mode)
                   if Y is not None else None)
             U0 = jnp.asarray(U0, dtype=dt)
@@ -285,7 +295,8 @@ class CMF(BaseEstimator, TransformerMixin):
         else:
             U0 = np.asarray(U, dtype=np.float64)
 
-        Xc = as_coupled(X, dt, use_pallas=self._resolve_use_pallas(),
+        Xc = as_coupled(X, self._resolve_data_dtype(),
+                        use_pallas=self._resolve_use_pallas(),
                         sparse_mode=self.sparse_mode)
         V0 = jnp.asarray(self.V_, dtype=dt)
         U0 = jnp.asarray(U0, dtype=dt)

@@ -52,9 +52,40 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
         else:
             inner = sddmm_dot(A, M, B)
     else:
+        if A.dtype != M.dtype:
+            # Mixed precision (bf16-stored data): the factored identity
+            # suffers catastrophic cancellation — ‖A‖², ⟨A,MBᵀ⟩ and the
+            # cross term are each ≫ the residual near convergence, so a
+            # 2⁻⁸-relative error on the inner product swamps the loss.
+            # Evaluate the residual directly, streamed in row blocks with
+            # f32 accumulation (one data pass per loss eval).
+            return _linear_term_direct(A, M, B)
         a_sq = jnp.sum(A * A)
         inner = jnp.sum(matmul(A, B) * M)
     return 0.5 * (a_sq - 2.0 * inner + cross)
+
+
+def _linear_term_direct(A, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """½‖A − M Bᵀ‖² by direct streamed residual (dense A, any dtype)."""
+    p, q = A.shape
+    if p * q <= _BLOCK_ELEMS:
+        r = A.astype(M.dtype) - matmul(M, B.T)
+        return 0.5 * jnp.sum(r * r)
+    bs = max(1, _BLOCK_ELEMS // q)
+    nb = -(-p // bs)
+    pad = nb * bs - p
+    Ap = jnp.pad(A, ((0, pad), (0, 0)))
+    Mp = jnp.pad(M, ((0, pad), (0, 0)))
+
+    def body(carry, inp):
+        Ab, Mb = inp
+        r = Ab.astype(Mb.dtype) - matmul(Mb, B.T)
+        return carry + 0.5 * jnp.sum(r * r), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), M.dtype),
+        (Ap.reshape(nb, bs, -1), Mp.reshape(nb, bs, -1)))
+    return total
 
 
 def _sigmoid_sq_sum(M: jnp.ndarray, B: jnp.ndarray,
@@ -109,7 +140,7 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
     p, q = A.shape
     if p * q <= _BLOCK_ELEMS:
-        r = A - jax.nn.sigmoid(matmul(M, B.T))
+        r = A.astype(M.dtype) - jax.nn.sigmoid(matmul(M, B.T))
         if row_mask is not None:
             return 0.5 * jnp.sum(row_mask * jnp.sum(r * r, axis=1))
         return 0.5 * jnp.sum(r * r)
@@ -126,7 +157,7 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
     def body(carry, inp):
         Ab, Mb, wb = inp
-        r = Ab - jax.nn.sigmoid(matmul(Mb, B.T))
+        r = Ab.astype(Mb.dtype) - jax.nn.sigmoid(matmul(Mb, B.T))
         return carry + 0.5 * jnp.sum(wb * jnp.sum(r * r, axis=1)), None
 
     total, _ = jax.lax.scan(

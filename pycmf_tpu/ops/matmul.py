@@ -30,6 +30,17 @@ def get_default_precision():
 
 
 def matmul(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """Dense matmul with mixed-precision support.
+
+    When either operand is bfloat16 (the ``data_dtype`` fast path: the big
+    data matrix stays bf16 in HBM to halve bandwidth), both operands feed
+    the MXU in bf16 and accumulation is forced to float32 — the result is
+    always float32, never a bf16 accumulate.
+    """
+    if jnp.bfloat16 in (a.dtype, b.dtype):
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          precision=precision or _PRECISION,
+                          preferred_element_type=jnp.float32)
     return jnp.matmul(a, b, precision=precision or _PRECISION)
 
 

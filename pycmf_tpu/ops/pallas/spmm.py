@@ -37,6 +37,23 @@ ROW_BLOCK = 256
 _VMEM_B_BUDGET = 12 * 1024 * 1024
 
 
+def tpu_spmm_kernel_enabled() -> bool:
+    """Whether the per-nonzero CSR kernels may be dispatched on real TPU.
+
+    EXPERIMENTAL: the scalar-gather inner loop lowers correctly (validated
+    at small scale) but exhibits pathological compile/runtime behavior at
+    larger tile configurations on the current Mosaic toolchain — and an
+    in-flight pathological dispatch cannot be cancelled over the device
+    link. TPUs have no fast gather; the supported sparse-input path is the
+    auto-densify policy (dense MXU matmuls win at CMF ranks even at ~0.1%
+    density). Interpreter mode (tests) is always allowed. Set
+    PYCMF_TPU_UNSAFE_SPMM=1 to opt in on hardware.
+    """
+    import os
+
+    return os.environ.get("PYCMF_TPU_UNSAFE_SPMM", "0") == "1"
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class TiledCsr:

@@ -160,7 +160,11 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
             tblocks.append(blk.T.tocsr())
         Xd = _stack_csr_blocks(blocks, dtype)
         Xtd = _stack_csr_blocks(tblocks, dtype)
-        if use_pallas:
+        from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
+
+        kernels_usable = (jax.default_backend() != "tpu"
+                          or tpu_spmm_kernel_enabled())
+        if use_pallas and kernels_usable:
             # single-chunk tiled layouts (fall back to segment ops when the
             # dense operand would overflow VMEM; chunking TODO for huge m)
             if b_fits_vmem(m):

@@ -57,6 +57,29 @@ def make_mu_step(cfg: SolverConfig):
         eps = hyper.eps
         up = cfg.use_pallas
 
+        from ..ops.sparse import is_sparse as _is_sp
+
+        fused = (up and cfg.update_U and cfg.update_V
+                 and not _is_sp(X.A) and U.dtype != jnp.bfloat16)
+        if fused:
+            # Single-X-pass iteration (see ops/pallas/mu_fused.py): the
+            # kernel returns U_new plus the X-side of V's numerator and
+            # Gram — mathematically identical to the U → Z → V order.
+            VtV = gram(V)
+            from ..ops.pallas.mu_fused import fused_mu_u_pass
+
+            U, num_vx, gram_u = fused_mu_u_pass(X.A, U, V, VtV, l1, l2, eps)
+            if cfg.has_Y and cfg.update_Z:
+                num = coupled_mm(Y, V, transpose=True, use_pallas=up)
+                Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+            num_v = num_vx
+            S = gram_u
+            if cfg.has_Y:
+                num_v = num_v + coupled_mm(Y, Z, use_pallas=up)
+                S = S + gram(Z)
+            V = mu_ratio_update(V, S, num_v, l1, l2, eps, up)
+            return U, V, Z
+
         if cfg.update_U:
             VtV = gram(V)
             num = coupled_mm(X, V, use_pallas=up)

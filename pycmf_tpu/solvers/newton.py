@@ -110,8 +110,11 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
             DB = matmul(D, B)
         G = matmul(M, BtB) - DB
         if row_sq is None:
-            row_sq = (row_sq_norms(D) if is_sparse(D)
-                      else jnp.sum(D * D, axis=1))
+            if is_sparse(D):
+                row_sq = row_sq_norms(D)
+            else:
+                Df = D.astype(M.dtype) if D.dtype != M.dtype else D
+                row_sq = jnp.sum(Df * Df, axis=1)
         return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
 
     if is_sparse(D):
@@ -119,7 +122,7 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
             "Newton with a sigmoid link requires dense data in this version; "
             "densify or use x_link/y_link='linear' for the sparse matrix")
     P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
-    R = P - D
+    R = P - D.astype(P.dtype)
     fp = P * (1.0 - P)
     W = fp * fp
     if hessian_form == "full":
@@ -140,7 +143,7 @@ def _phi_term(Mc, ctx) -> jnp.ndarray:
     if isinstance(ctx, _LinearCtx):
         quad = jnp.sum(matmul(Mc, ctx.BtB) * Mc, axis=1)
         return 0.5 * (ctx.row_sq - 2.0 * jnp.sum(ctx.DB * Mc, axis=1) + quad)
-    R = ctx.D - jax.nn.sigmoid(matmul(Mc, ctx.B.T))
+    R = ctx.D.astype(Mc.dtype) - jax.nn.sigmoid(matmul(Mc, ctx.B.T))
     if ctx.mask is not None:
         return 0.5 * jnp.sum(R * R * ctx.mask[None, :], axis=1)
     return 0.5 * jnp.sum(R * R, axis=1)

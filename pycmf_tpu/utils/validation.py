@@ -53,7 +53,14 @@ def as_coupled(A, dtype, use_pallas: bool = False,
 
     C, Ct = csr_transpose_host(A, dtype=dtype)
     A_tiled = At_tiled = None
-    if use_pallas:
+    import jax as _jax
+
+    kernels_usable = (_jax.default_backend() != "tpu")
+    if not kernels_usable:
+        from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
+
+        kernels_usable = tpu_spmm_kernel_enabled()
+    if use_pallas and kernels_usable:
         from ..ops.pallas.spmm import tile_csr_chunks_host
 
         Ah = sp.csr_matrix(A)

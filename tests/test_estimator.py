@@ -122,6 +122,37 @@ class TestFitAPI:
         assert m2.reconstruction_err_ <= m1.reconstruction_err_
 
 
+class TestDataDtype:
+    def test_bf16_data_f32_factors(self, rng):
+        """data_dtype='bfloat16' keeps factors/accumulation in float32 and
+        converges close to the full-precision run (noise above the bf16
+        quantization floor of X — ~0.4% relative)."""
+        X, Y = make_problem(rng, noise=0.05)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=100, tol=0.0,
+                  dtype="float32")
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(data_dtype="bfloat16", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m2.U_.dtype == np.float64  # host-side export unchanged
+        # trajectories diverge (quantized numerators), but quality must be
+        # comparable-or-better at the same iteration budget
+        assert m2.reconstruction_err_ < m1.reconstruction_err_ * 1.15
+        r1 = np.linalg.norm(X - m1.U_ @ m1.V_.T) / np.linalg.norm(X)
+        r2 = np.linalg.norm(X - m2.U_ @ m2.V_.T) / np.linalg.norm(X)
+        assert r2 < r1 * 1.15
+
+    def test_bf16_data_newton_sigmoid(self, rng):
+        X, Y = make_problem(rng, non_negative=False, binary_y=True)
+        m = CMF(n_components=4, solver="newton", y_link="sigmoid",
+                U_non_negative=False, V_non_negative=False,
+                Z_non_negative=False, data_dtype="bfloat16",
+                random_state=0, max_iter=15, tol=0.0)
+        m.fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0] * 0.7
+
+
 class TestTransform:
     def test_transform_shape_and_quality(self, rng):
         X, Y = make_problem(rng, n=80)

@@ -104,6 +104,51 @@ class TestTiledSpmm:
         assert np.allclose(got, want, rtol=1e-9)
 
 
+class TestFusedMuPass:
+    def test_matches_unfused_math(self, rng):
+        from pycmf_tpu.ops.pallas.mu_fused import fused_mu_u_pass
+
+        n, m, k = 90, 70, 5
+        X = jnp.asarray(np.abs(rng.randn(n, m)))
+        U = jnp.asarray(np.abs(rng.randn(n, k)))
+        V = jnp.asarray(np.abs(rng.randn(m, k)))
+        VtV = matmul(V.T, V)
+        l1, l2, eps = 0.2, 0.5, 1e-10
+        Un, numV, gramU = fused_mu_u_pass(X, U, V, VtV, l1, l2, eps,
+                                          row_tile=32)
+        Un_want = U * matmul(X, V) / (matmul(U, VtV) + l1 + l2 * U + eps)
+        assert np.allclose(Un, Un_want, rtol=1e-10)
+        assert np.allclose(numV, matmul(X.T, Un_want), rtol=1e-9)
+        assert np.allclose(gramU, matmul(Un_want.T, Un_want), rtol=1e-10)
+
+    def test_full_fit_matches_unfused(self, rng):
+        """use_pallas dense MU (fused single-pass path) ≡ jnp path."""
+        from tests.conftest import make_problem
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=25, tol=0.0,
+                  dtype="float64", alpha=0.1, l1_ratio=0.3)
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-9)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-10)
+
+    def test_single_matrix_fused(self, rng):
+        from pycmf_tpu import CMF
+
+        X = np.abs(rng.randn(50, 30))
+        m1 = CMF(n_components=3, use_pallas=True, max_iter=20,
+                 random_state=0, dtype="float64").fit(X)
+        m2 = CMF(n_components=3, use_pallas=False, max_iter=20,
+                 random_state=0, dtype="float64").fit(X)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
+
+
 class TestSolverIntegration:
     def test_mu_with_pallas_matches(self, rng):
         from tests.conftest import make_problem
