@@ -237,7 +237,8 @@ class CMF(BaseEstimator, TransformerMixin):
                 self.solver, X, Y, U0, V0, Z0, cfg, hyper, rng,
                 n_shards=self.n_shards, layout=self.shard_layout, dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
-                eval_every=self.eval_every, verbose=self.verbose)
+                eval_every=self.eval_every, verbose=self.verbose,
+                loop=self._resolve_loop())
         else:
             up = self._resolve_use_pallas()
             ddt = self._resolve_data_dtype()

@@ -498,6 +498,80 @@ def _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper, rng):
 
 
 # ---------------------------------------------------------------------------
+# Device-resident sharded fits: the entire tol loop runs inside shard_map —
+# every device executes the while_loop in lockstep (synchronized by the
+# psums in the per-iteration functions), so a multi-chip fit costs ONE
+# dispatch instead of one per eval block.
+# ---------------------------------------------------------------------------
+
+
+def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
+    from ..solvers.common import device_fit_core
+
+    def step_fn(ops, _, U, V, Z, hyper, key=None):
+        if solver == "mu":
+            return _mu_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper)
+        return _newton_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper, key)
+
+    def loss_core(state, hyper):
+        ops, _, U, V, Z = state
+        return _loss_rows(ops, U, V, Z, ops.mask, cfg, hyper)
+
+    core = device_fit_core(step_fn, loss_core, carry_rng=(solver != "mu"))
+    in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P(), P())
+    out_specs = (P(AXIS, None), P(), P(), P(), P())
+
+    @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
+    def fit(ops, U, V, Z, hyper, rng, tol, max_iter, eval_every):
+        sm = jax.shard_map(
+            lambda ops, U, V, Z, hyper, rng, tol: core(
+                ops, None, U, V, Z, hyper, rng, tol, max_iter, eval_every),
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)
+        return sm(ops, U, V, Z, hyper, rng, tol)
+
+    return fit
+
+
+def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
+    from ..solvers.common import device_fit_core
+
+    x_spec, xt_spec, y_spec = ops_specs
+
+    def make_core(Xd, Xtd, Yd, mask):
+        def step_fn(_, __, U, V, Z, hyper, key=None):
+            if solver == "mu":
+                return _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
+            return _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg,
+                                     hyper, key)
+
+        def loss_core(state, hyper):
+            _, __, U, V, Z = state
+            return _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper)
+
+        return device_fit_core(step_fn, loss_core,
+                               carry_rng=(solver != "mu"))
+
+    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P(AXIS),
+                P(), P(), P())
+    out_specs = (P(), P(AXIS, None), P(), P(), P())
+
+    @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
+    def fit(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol, max_iter,
+            eval_every):
+        def body(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol):
+            core = make_core(Xd, Xtd, Yd, mask)
+            return core(None, None, U, V, Z, hyper, rng, tol, max_iter,
+                        eval_every)
+
+        sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return sm(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol)
+
+    return fit
+
+
+# ---------------------------------------------------------------------------
 # Block factories + host runner
 # ---------------------------------------------------------------------------
 
@@ -601,9 +675,15 @@ def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
 def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
                 hyper: Hyper, rng, *, n_shards: int, layout: str = "rows",
                 dtype=jnp.float32, mesh=None, max_iter: int = 200,
-                tol: float = 1e-4, eval_every: int = 10, verbose: int = 0):
-    """Sharded host loop. X/Y are host matrices (ndarray or scipy.sparse);
-    U0/V0/Z0 host ndarrays. Returns the same tuple as run_mu/run_newton."""
+                tol: float = 1e-4, eval_every: int = 10, verbose: int = 0,
+                loop: str = "host"):
+    """Sharded fit driver. X/Y are host matrices (ndarray or scipy.sparse);
+    U0/V0/Z0 host ndarrays. Returns the same tuple as run_mu/run_newton.
+    loop='device' runs the whole tol loop inside shard_map (one dispatch)."""
+    import time as _time
+
+    from ..solvers.common import finish_device_fit
+
     if mesh is None:
         mesh = make_mesh(n_shards)
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -615,6 +695,16 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
+        if loop == "device":
+            fitf = _make_rows_device_fit(cfg, mesh, solver,
+                                         _shard_specs_rows(ops))
+            t0 = _time.perf_counter()
+            out = fitf(ops, U_pad, V, Z, hyper, rng,
+                       jnp.asarray(tol, dtype), max_iter, eval_every)
+            U, V, Z, n_iter, losses, iters = finish_device_fit(
+                out, eval_every, max_iter)
+            return (U[:n], V, Z, n_iter, losses, iters,
+                    [_time.perf_counter() - t0])
         block, loss_fn = _make_rows_block(cfg, mesh, solver,
                                           _shard_specs_rows(ops))
         state = (ops, U_pad, V, Z)
@@ -632,6 +722,15 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         specs = (P(AXIS) if is_sparse(Xd) else P(None, AXIS),
                  P(AXIS) if Xtd is not None and is_sparse(Xtd) else None,
                  None if Yd is None else P(AXIS, None))
+        if loop == "device":
+            fitf = _make_cols_device_fit(cfg, mesh, solver, specs)
+            t0 = _time.perf_counter()
+            out = fitf(Xd, Xtd, Yd, U, V_pad, Z, mask, hyper, rng,
+                       jnp.asarray(tol, dtype), max_iter, eval_every)
+            U, V, Z, n_iter, losses, iters = finish_device_fit(
+                out, eval_every, max_iter)
+            return (U, V[:m], Z, n_iter, losses, iters,
+                    [_time.perf_counter() - t0])
         block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
         state = (Xd, Xtd, Yd, U, V_pad, Z, mask)
         state, n_iter, losses, iters, times = run_solver_loop(

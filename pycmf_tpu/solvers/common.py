@@ -128,7 +128,18 @@ def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool):
     """
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("max_iter", "eval_every"))
+    core = device_fit_core(step_fn, loss_core, carry_rng=carry_rng)
+    return jax.jit(core, static_argnames=("max_iter", "eval_every"))
+
+
+def device_fit_core(step_fn, loss_core, *, carry_rng: bool):
+    """Un-jitted device-fit loop (the body of make_device_fit_loop).
+
+    Exposed separately so the sharded runners can place the ENTIRE loop
+    inside shard_map — every device runs it in lockstep, synchronized by
+    the psums inside step_fn/loss_core, and the multi-chip fit costs one
+    dispatch total."""
+
     def fit(X, Y, U, V, Z, hyper, rng, tol, max_iter: int, eval_every: int):
         eval_every = max(1, min(eval_every, max_iter))
         n_full = max_iter // eval_every

@@ -167,6 +167,54 @@ class TestColsLayout:
         assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
 
+class TestShardedDeviceLoop:
+    """The in-shard_map device loop must match the host-loop sharded run."""
+
+    def test_mu_rows_device_matches_host(self, rng):
+        X, Y = make_problem(rng, n=67, m=40, sparse=True)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=40, tol=1e-5,
+                  dtype="float64", n_shards=8)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
+    def test_newton_rows_device_converges(self, rng):
+        X, Y = make_problem(rng, n=67, m=40)
+        m = CMF(n_components=4, solver="newton", loop="device", n_shards=8,
+                random_state=0, max_iter=10, tol=0.0)
+        m.fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0] * 0.6
+
+    def test_mu_cols_device_matches_host(self, rng):
+        X, Y = make_problem(rng, n=40, m=67)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=30, tol=1e-5,
+                  dtype="float64", n_shards=8, shard_layout="cols")
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
+    def test_newton_cols_device_converges(self, rng):
+        X, Y = make_problem(rng, n=40, m=67, non_negative=False,
+                            binary_y=True)
+        m = CMF(n_components=4, solver="newton", y_link="sigmoid",
+                U_non_negative=False, V_non_negative=False,
+                Z_non_negative=False, loop="device", n_shards=8,
+                shard_layout="cols", random_state=0, max_iter=8, tol=0.0)
+        m.fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0]
+
+
 class TestShardingInfra:
     def test_factors_actually_sharded(self, rng):
         """U must live row-sharded across the mesh during the fit — verify
