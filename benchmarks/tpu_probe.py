@@ -2,7 +2,9 @@
 
 Dispatches are ordered smallest-risk-first with readback syncs between
 stages (an in-flight pathological dispatch cannot be cancelled over the
-device link — see memory notes). Prints one line per stage.
+device link). Only the reliable paths are exercised: XLA dense solvers,
+device-resident fit loop, data_dtype bf16, and the two validated Pallas
+kernels (fused ratio update, batched Cholesky solve).
 
 Usage: timeout 600 python -u benchmarks/tpu_probe.py
 """
@@ -20,89 +22,62 @@ def main():
     import jax.numpy as jnp
 
     say = lambda *a: print(*a, flush=True)
-    t0 = time.perf_counter()
-    say("devices:", jax.devices(), f"({time.perf_counter()-t0:.1f}s)")
-    v = float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
-    say("alive:", v)
+    say("devices:", jax.devices())
+    say("alive:", float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))
 
-    from pycmf_tpu.ops.matmul import matmul
-    from pycmf_tpu.ops.pallas.mu_fused import fused_mu_u_pass
+    from pycmf_tpu import CMF
+    from pycmf_tpu.utils.datasets import synthetic_20ng
+    from pycmf_tpu.utils.init import initialize_factors
 
+    # S1: tiny MU fit through the estimator (device loop) — sanity
     rng = np.random.RandomState(0)
-
-    # stage 1: tiny fused kernel — correctness + lowering
-    n, m, k = 64, 48, 8
-    X = jnp.asarray(np.abs(rng.rand(n, m)), jnp.float32)
-    U = jnp.asarray(np.abs(rng.rand(n, k)), jnp.float32)
-    V = jnp.asarray(np.abs(rng.rand(m, k)), jnp.float32)
-    VtV = matmul(V.T, V)
-    f = jax.jit(lambda X, U, V, VtV: fused_mu_u_pass(
-        X, U, V, VtV, 0.1, 0.2, 1e-9, row_tile=32))
+    Xs = np.abs(rng.rand(128, 96))
+    Ys = np.abs(rng.rand(96, 12))
     t0 = time.perf_counter()
-    Un, numV, gU = f(X, U, V, VtV)
-    s = float(Un.sum())
-    want = np.asarray(U) * np.asarray(matmul(X, V)) / (
-        np.asarray(matmul(U, VtV)) + 0.1 + 0.2 * np.asarray(U) + 1e-9)
-    ok = np.allclose(np.asarray(Un), want, rtol=3e-5)
-    okv = np.allclose(np.asarray(numV), np.asarray(X).T @ want, rtol=3e-4,
-                      atol=1e-3)
-    say(f"S1 tiny fused: {time.perf_counter()-t0:.1f}s U_ok={ok} numV_ok={okv}")
-    if not (ok and okv):
-        say("ABORT: fused kernel incorrect on TPU")
-        return
+    m = CMF(n_components=6, random_state=0, max_iter=30, tol=0.0).fit(Xs, Ys)
+    say(f"S1 tiny MU fit: {time.perf_counter()-t0:.1f}s "
+        f"loss {m.loss_history_[0]:.4g}->{m.reconstruction_err_:.4g}")
 
-    # stage 2: 20NG-scale fused kernel, f32 and bf16 data — slope timing
-    n, m, k = 30000, 11314, 20
-    Xf = jnp.asarray(np.abs(rng.rand(n, m)).astype(np.float32))
-    U = jnp.asarray(np.abs(rng.rand(n, k)), jnp.float32)
-    V = jnp.asarray(np.abs(rng.rand(m, k)), jnp.float32)
-    VtV = matmul(V.T, V)
-
-    def time_reps(fn, *args, reps=10):
-        out = fn(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), out)
-        s = float(out[0].sum())      # true sync
+    # S2: 20NG MU, f32 vs bf16 data, device loop, timed after warm-up
+    X, Y = synthetic_20ng(random_state=0)
+    U0, V0, Z0 = initialize_factors(X, Y, 20, random_state=0)
+    say(f"S2 data: X {X.shape} nnz={X.nnz}")
+    for label, kw in (("f32", {}), ("bf16", dict(data_dtype="bfloat16"))):
+        mk = lambda mi: CMF(n_components=20, solver="mu", tol=1e-4,
+                            max_iter=mi, eval_every=10, random_state=0, **kw)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        s = float(out[0].sum())
-        return (time.perf_counter() - t0) / reps * 1000
-
-    ff = jax.jit(lambda X, U, V, VtV: fused_mu_u_pass(
-        X, U, V, VtV, 0.0, 0.0, 1e-9))
-    ms_f32 = time_reps(ff, Xf, U, V, VtV)
-    say(f"S2 fused 20NG f32: {ms_f32:.2f} ms/pass (incl one RPC / 10 reps)")
-
-    Xb = Xf.astype(jnp.bfloat16)
-    ms_bf16 = time_reps(ff, Xb, U, V, VtV)
-    say(f"S2 fused 20NG bf16: {ms_bf16:.2f} ms/pass")
-
-    # stage 3: full MU iteration slope — device loop, dense auto policy
-    from pycmf_tpu.solvers.common import Coupled, SolverConfig, make_hyper
-    from pycmf_tpu.solvers.mu import _make_block
-
-    hyper = make_hyper(dtype=jnp.float32)
-    Y = jnp.asarray(np.abs(rng.rand(m, 20)), jnp.float32)
-    Z = jnp.asarray(np.abs(rng.rand(20, 20)), jnp.float32)
-
-    for label, cfgk, Xuse in (("xla f32", dict(use_pallas=False), Xf),
-                              ("fused f32", dict(use_pallas=True), Xf),
-                              ("fused bf16", dict(use_pallas=True), Xb)):
-        blk = _make_block(SolverConfig(**cfgk))
-        st = (Coupled(Xuse), Coupled(Y), U, V, Z)
-        st, l, _ = blk(st, hyper, None, 10)
-        l = float(l)
-        t0 = time.perf_counter()
-        st, l, _ = blk(st, hyper, None, 10)
-        l = float(l)
+        mk(10).fit(X, Y, U=U0, V=V0, Z=Z0)   # compile warm-up
         t1 = time.perf_counter()
-        st2, l2, _ = blk(st, hyper, None, 110)
-        l2 = float(l2)
+        mm = mk(200)
+        mm.fit(X, Y, U=U0, V=V0, Z=Z0)
         t2 = time.perf_counter()
-        per = ((t2 - t1) - (t1 - t0)) / 100 * 1000
-        say(f"S3 MU iter 20NG [{label}]: {per:.2f} ms/iter "
-            f"(b10 {1000*(t1-t0):.0f} ms, b110 {1000*(t2-t1):.0f} ms) "
-            f"loss={l2:.4g}")
+        say(f"S2 MU 20NG [{label}]: warm {t1-t0:.1f}s, fit {t2-t1:.3f}s, "
+            f"{mm.n_iter_} iters -> {1000*(t2-t1)/max(1,mm.n_iter_):.2f} "
+            f"ms/iter, loss {mm.reconstruction_err_:.6g}")
+
+    # S3: Newton sigmoid (config #2 shapes), device loop + pallas solve
+    n, mdim, r, k = 2000, 1000, 200, 20
+    Vt = rng.randn(mdim, k) * 0.5
+    Zt = rng.randn(r, k) * 0.5
+    Xn = rng.randn(n, mdim)
+    Yb = (1 / (1 + np.exp(-(Vt @ Zt.T))) > 0.5).astype(np.float64)
+    U0, V0, Z0 = initialize_factors(Xn, Yb, k, random_state=0,
+                                    U_non_negative=False,
+                                    V_non_negative=False,
+                                    Z_non_negative=False)
+    mk = lambda mi: CMF(n_components=k, solver="newton", y_link="sigmoid",
+                        U_non_negative=False, V_non_negative=False,
+                        Z_non_negative=False, tol=1e-5, max_iter=mi,
+                        eval_every=5, random_state=0)
+    t0 = time.perf_counter()
+    mk(5).fit(Xn, Yb, U=U0, V=V0, Z=Z0)
+    t1 = time.perf_counter()
+    mn = mk(50)
+    mn.fit(Xn, Yb, U=U0, V=V0, Z=Z0)
+    t2 = time.perf_counter()
+    say(f"S3 Newton sigmoid 2k×1k: warm {t1-t0:.1f}s, fit {t2-t1:.3f}s, "
+        f"{mn.n_iter_} iters -> {1000*(t2-t1)/max(1,mn.n_iter_):.2f} ms/iter"
+        f", loss {mn.reconstruction_err_:.6g}")
 
     say("probe done")
 

@@ -20,15 +20,12 @@ mesh with psum of the shared-V terms (BASELINE.json config #5).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 from sklearn.base import BaseEstimator, TransformerMixin
 
-from ..ops.losses import reconstruction_rmse, total_loss
 from ..solvers.common import SolverConfig, make_hyper
 from ..solvers.mu import run_mu
 from ..solvers.newton import run_newton

@@ -21,9 +21,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .links import LINEAR, apply_link
+from .links import LINEAR
 from .matmul import gram, matmul
-from .sparse import CsrMatrix, is_sparse, sddmm_dot
+from .sparse import is_sparse, sddmm_dot
 
 # Above this many elements, sigmoid-link residuals stream over row blocks.
 _BLOCK_ELEMS = 1 << 24

@@ -27,7 +27,7 @@ of the operands, not of the algorithm (SURVEY.md §7 design stance).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

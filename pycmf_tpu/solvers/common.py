@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, List, NamedTuple, Optional
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ import numpy as np
 
 from ..ops.links import LINEAR, check_link
 from ..ops.matmul import matmul
-from ..ops.sparse import CsrMatrix, is_sparse, spmm
+from ..ops.sparse import is_sparse, spmm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,8 +126,6 @@ def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool):
     (NaN beyond the stop point). Stopping rule identical to the host loop:
     (L_prev − L)/L_init < tol, checked every eval_every iterations.
     """
-    import functools
-
     core = device_fit_core(step_fn, loss_core, carry_rng=carry_rng)
     return jax.jit(core, static_argnames=("max_iter", "eval_every"))
 

@@ -61,6 +61,15 @@ def make_mu_step(cfg: SolverConfig):
 
         fused = (up and cfg.update_U and cfg.update_V
                  and not _is_sp(X.A) and U.dtype != jnp.bfloat16)
+        if fused and jax.default_backend() == "tpu":
+            # EXPERIMENTAL on hardware: the revisited-accumulator pattern
+            # misbehaves under the current Mosaic toolchain (wrong results /
+            # hangs observed); the XLA two-pass iteration is the reliable
+            # TPU path (HBM-roofline-bound; use data_dtype='bfloat16' to
+            # halve it). Opt in via PYCMF_TPU_UNSAFE_FUSED=1.
+            import os
+
+            fused = os.environ.get("PYCMF_TPU_UNSAFE_FUSED", "0") == "1"
         if fused:
             # Single-X-pass iteration (see ops/pallas/mu_fused.py): the
             # kernel returns U_new plus the X-side of V's numerator and

@@ -6,7 +6,7 @@ are host-side NumPy — nothing here touches the device.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

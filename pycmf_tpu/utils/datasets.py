@@ -15,7 +15,7 @@ print_topic_terms reads) and V holds document-topic weights.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp

@@ -8,8 +8,6 @@ inputs become CsrMatrix pytrees with precomputed transposes
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
