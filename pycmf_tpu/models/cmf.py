@@ -57,9 +57,20 @@ class CMF(BaseEstimator, TransformerMixin):
 
     TPU-build extensions
     --------------------
-    dtype : 'float32' (default) | 'float64' (needs jax_enable_x64) | 'bfloat16'.
-    eval_every : iterations between on-host loss/tol checks (jitted block size).
-    use_pallas : route hot ops through the Pallas kernels.
+    dtype : 'float32' (default) | 'float64' (needs jax_enable_x64) | 'bfloat16'
+        — compute/factor dtype.
+    data_dtype : storage dtype for X/Y on device (None = dtype).
+        'bfloat16' halves the HBM traffic of the bandwidth-bound data
+        passes while factors and accumulation stay float32
+        (docs/PERFORMANCE.md).
+    eval_every : iterations between loss/tol checks.
+    loop : 'auto' (default) | 'host' | 'device'. 'device' runs the whole
+        tol-checked fit as one on-device lax.while_loop (one dispatch per
+        fit; auto-selected on TPU). verbose printing needs loop='host'.
+    use_pallas : None (auto: on for TPU) | bool — route hot ops through the
+        Pallas kernels where reliable (see docs/PERFORMANCE.md).
+    sparse_mode : 'auto' (densify sparse input when the dense copy fits
+        ~2 GB — the fast TPU path) | 'csr' | 'dense'.
     hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
     line_search_trials : backtracking halvings (0 = full Newton step).
     n_shards : row-shard data over this many devices (None = single-chip).

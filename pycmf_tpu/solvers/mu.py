@@ -90,20 +90,23 @@ def make_mu_step(cfg: SolverConfig):
             return U, V, Z
 
         if cfg.update_U:
-            VtV = gram(V)
-            num = coupled_mm(X, V, use_pallas=up)
-            U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+            with jax.named_scope("mu/update_U"):
+                VtV = gram(V)
+                num = coupled_mm(X, V, use_pallas=up)
+                U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
         if cfg.has_Y and cfg.update_Z:
-            VtV = gram(V)
-            num = coupled_mm(Y, V, transpose=True, use_pallas=up)
-            Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+            with jax.named_scope("mu/update_Z"):
+                VtV = gram(V)
+                num = coupled_mm(Y, V, transpose=True, use_pallas=up)
+                Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
         if cfg.update_V:
-            num = coupled_mm(X, U, transpose=True, use_pallas=up)
-            S = gram(U)
-            if cfg.has_Y:
-                num = num + coupled_mm(Y, Z, use_pallas=up)
-                S = S + gram(Z)
-            V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+            with jax.named_scope("mu/update_V"):
+                num = coupled_mm(X, U, transpose=True, use_pallas=up)
+                S = gram(U)
+                if cfg.has_Y:
+                    num = num + coupled_mm(Y, Z, use_pallas=up)
+                    S = S + gram(Z)
+                V = mu_ratio_update(V, S, num, l1, l2, eps, up)
         return U, V, Z
 
     return step

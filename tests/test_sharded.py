@@ -80,6 +80,24 @@ class TestRowsLayout:
         assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
+    def test_sparse_Y_matches_single_device(self, rng):
+        """Replicated CSR Y in the rows layout (Yt spmm path)."""
+        import scipy.sparse as sp
+
+        X, Y = make_problem(rng, n=67, m=40)
+        Yd = Y.copy()
+        Yd[Yd < np.quantile(Yd, 0.6)] = 0.0
+        Ys = sp.csr_matrix(Yd)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", sparse_mode="csr")
+        m1 = CMF(**kw).fit(X, Ys, U=U0, V=V0, Z=Z0)
+        m2 = CMF(n_shards=8, **kw).fit(X, Ys, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+
 
 class TestRowsPallas:
     def test_mu_sparse_pallas_matches(self, rng):
