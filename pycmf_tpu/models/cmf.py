@@ -137,10 +137,17 @@ class CMF(BaseEstimator, TransformerMixin):
         return self.loop
 
     def _resolve_use_pallas(self):
-        """None → auto: kernels on TPU, jnp oracle elsewhere (interpret
-        mode is correct but slow, so it stays opt-in off-TPU)."""
+        """None → auto: Pallas kernels only where they beat XLA on the
+        measured hardware. The MU ratio update is NOT one of them — XLA
+        fuses the Gram-matmul + ratio epilogue itself, and the small-tile
+        kernel measured ~100× slower per iteration on the current Mosaic
+        toolchain (docs/PERFORMANCE.md). The winning kernel is Newton's
+        batched Cholesky solve, which is gated inside the solver, so auto
+        resolves to False for MU and True for Newton on TPU."""
         if self.use_pallas is None:
-            return jax.default_backend() == "tpu"
+            if jax.default_backend() != "tpu":
+                return False
+            return self.solver == "newton"
         return bool(self.use_pallas)
 
     def _resolve_dtype(self, which=None):
