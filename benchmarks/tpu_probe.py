@@ -55,6 +55,17 @@ def main():
             f"{mm.n_iter_} iters -> {1000*(t2-t1)/max(1,mm.n_iter_):.2f} "
             f"ms/iter, loss {mm.reconstruction_err_:.6g}")
 
+    # S3a: tiny Newton first (compile risk check)
+    Xt_ = rng.randn(200, 100)
+    Yt_ = (rng.rand(100, 10) > 0.5).astype(np.float64)
+    t0 = time.perf_counter()
+    mt = CMF(n_components=5, solver="newton", y_link="sigmoid",
+             U_non_negative=False, V_non_negative=False,
+             Z_non_negative=False, random_state=0, max_iter=10, tol=0.0)
+    mt.fit(Xt_, Yt_)
+    say(f"S3a tiny Newton: {time.perf_counter()-t0:.1f}s "
+        f"loss {mt.loss_history_[0]:.4g}->{mt.reconstruction_err_:.4g}")
+
     # S3: Newton sigmoid (config #2 shapes), device loop + pallas solve
     n, mdim, r, k = 2000, 1000, 200, 20
     Vt = rng.randn(mdim, k) * 0.5
@@ -65,19 +76,22 @@ def main():
                                     U_non_negative=False,
                                     V_non_negative=False,
                                     Z_non_negative=False)
-    mk = lambda mi: CMF(n_components=k, solver="newton", y_link="sigmoid",
-                        U_non_negative=False, V_non_negative=False,
-                        Z_non_negative=False, tol=1e-5, max_iter=mi,
-                        eval_every=5, random_state=0)
-    t0 = time.perf_counter()
-    mk(5).fit(Xn, Yb, U=U0, V=V0, Z=Z0)
-    t1 = time.perf_counter()
-    mn = mk(50)
-    mn.fit(Xn, Yb, U=U0, V=V0, Z=Z0)
-    t2 = time.perf_counter()
-    say(f"S3 Newton sigmoid 2k×1k: warm {t1-t0:.1f}s, fit {t2-t1:.3f}s, "
-        f"{mn.n_iter_} iters -> {1000*(t2-t1)/max(1,mn.n_iter_):.2f} ms/iter"
-        f", loss {mn.reconstruction_err_:.6g}")
+    for label, up in (("pallas-solve", True), ("xla-solve", False)):
+        mk = lambda mi: CMF(n_components=k, solver="newton",
+                            y_link="sigmoid", U_non_negative=False,
+                            V_non_negative=False, Z_non_negative=False,
+                            tol=1e-5, max_iter=mi, eval_every=5,
+                            random_state=0, use_pallas=up)
+        t0 = time.perf_counter()
+        mk(5).fit(Xn, Yb, U=U0, V=V0, Z=Z0)
+        t1 = time.perf_counter()
+        mn = mk(50)
+        mn.fit(Xn, Yb, U=U0, V=V0, Z=Z0)
+        t2 = time.perf_counter()
+        say(f"S3 Newton 2k×1k [{label}]: warm {t1-t0:.1f}s, "
+            f"fit {t2-t1:.3f}s, {mn.n_iter_} iters -> "
+            f"{1000*(t2-t1)/max(1,mn.n_iter_):.2f} ms/iter, "
+            f"loss {mn.reconstruction_err_:.6g}")
 
     say("probe done")
 
