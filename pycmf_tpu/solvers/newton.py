@@ -256,13 +256,15 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
         return out + acc_dist
 
     phi0 = phi(M)
-    cands, phis = [], []
-    for t in range(trials):
-        Mc = project(M - (0.5 ** t) * d)
-        cands.append(Mc)
-        phis.append(phi(Mc))
-    cands = jnp.stack(cands)                 # (T, p, k)
-    phis = jnp.stack(phis)                   # (T, p)
+    steps = (0.5 ** jnp.arange(trials, dtype=dtype))
+
+    def trial(_, s):
+        Mc = project(M - s * d)
+        return None, (Mc, phi(Mc))
+
+    # scan keeps the trace size independent of the trial count (the line
+    # search dominates the Newton step's compile cost otherwise)
+    _, (cands, phis) = jax.lax.scan(trial, None, steps)
     accepted = phis < phi0[None, :]
     first = jnp.argmax(accepted, axis=0)     # first (largest) accepted step
     any_acc = jnp.any(accepted, axis=0)
