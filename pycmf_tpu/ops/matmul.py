@@ -38,8 +38,10 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
     always float32, never a bf16 accumulate.
     """
     if jnp.bfloat16 in (a.dtype, b.dtype):
+        # Native single-pass bf16 MXU with f32 accumulation. (HIGHEST would
+        # request multi-pass emulation and forfeit the bandwidth win.)
         return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                          precision=precision or _PRECISION,
+                          precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)
     return jnp.matmul(a, b, precision=precision or _PRECISION)
 
