@@ -37,7 +37,7 @@ def penalty(M: jnp.ndarray, alpha, l1_ratio) -> jnp.ndarray:
 
 
 def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
-                 tiled=None) -> jnp.ndarray:
+                 tiled=None, a_sq=None) -> jnp.ndarray:
     """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR).
 
     tiled: optional Pallas tiled-CSR chunks of A — routes the SDDMM through
@@ -60,7 +60,8 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
             # Evaluate the residual directly, streamed in row blocks with
             # f32 accumulation (one data pass per loss eval).
             return _linear_term_direct(A, M, B)
-        a_sq = jnp.sum(A * A)
+        if a_sq is None:
+            a_sq = jnp.sum(A * A)
         inner = jnp.sum(matmul(A, B) * M)
     return 0.5 * (a_sq - 2.0 * inner + cross)
 
@@ -169,7 +170,7 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
 def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
                         row_mask: Optional[jnp.ndarray] = None,
-                        tiled=None) -> jnp.ndarray:
+                        tiled=None, a_sq=None) -> jnp.ndarray:
     """½‖A − f(M Bᵀ)‖²_F for one coupled matrix.
 
     row_mask (optional, dense/sigmoid paths): per-row weights, used by the
@@ -177,18 +178,20 @@ def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
     A and M contribute exactly 0 and need no mask).
     """
     if link == LINEAR:
-        return _linear_term(A, M, B, tiled)
+        return _linear_term(A, M, B, tiled, a_sq)
     return _sigmoid_term(A, M, B, row_mask)
 
 
 def total_loss(X, Y, U, V, Z, x_link: str, y_link: str, alpha, l1_ratio,
                x_row_mask: Optional[jnp.ndarray] = None,
-               x_tiled=None, y_tiled=None) -> jnp.ndarray:
+               x_tiled=None, y_tiled=None, x_a_sq=None,
+               y_a_sq=None) -> jnp.ndarray:
     """Full CMF objective L(U, V, Z). Y may be None (single-matrix / NMF)."""
-    loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled)
+    loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled, x_a_sq)
     loss = loss + penalty(U, alpha, l1_ratio) + penalty(V, alpha, l1_ratio)
     if Y is not None:
-        loss = loss + reconstruction_term(Y, V, Z, y_link, tiled=y_tiled)
+        loss = loss + reconstruction_term(Y, V, Z, y_link, tiled=y_tiled,
+                                          a_sq=y_a_sq)
         loss = loss + penalty(Z, alpha, l1_ratio)
     return loss
 

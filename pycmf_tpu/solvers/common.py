@@ -86,6 +86,7 @@ class Coupled(NamedTuple):
     At_tiled: Any = None
     row_sq: Any = None       # (p,) per-row ‖aᵢ‖² of A
     row_sq_t: Any = None     # (q,) per-row norms of Aᵀ
+    a_sq: Any = None         # scalar ‖A‖²_F (dense; saves a loss-eval pass)
 
 
 def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,

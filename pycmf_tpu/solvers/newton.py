@@ -322,7 +322,8 @@ def _loss_core(cfg: SolverConfig):
         yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
                           hyper.alpha, hyper.l1_ratio,
-                          x_tiled=xt, y_tiled=yt)
+                          x_tiled=xt, y_tiled=yt, x_a_sq=X.a_sq,
+                          y_a_sq=(Y.a_sq if cfg.has_Y else None))
 
     return loss_fn
 

@@ -37,7 +37,11 @@ def as_coupled(A, dtype, use_pallas: bool = False,
       'dense' — always densify.
     """
     if not sp.issparse(A):
-        return Coupled(jnp.asarray(np.asarray(A), dtype=dtype))
+        Ah = np.asarray(A)
+        a_sq = jnp.asarray(np.sum(Ah.astype(np.float64) ** 2),
+                           dtype=jnp.float32 if dtype == jnp.bfloat16
+                           else dtype)
+        return Coupled(jnp.asarray(Ah, dtype=dtype), a_sq=a_sq)
 
     mode = sparse_mode
     if mode not in ("auto", "csr", "dense"):
@@ -47,7 +51,11 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     if mode == "auto":
         mode = "dense" if nbytes_dense <= densify_threshold else "csr"
     if mode == "dense":
-        return Coupled(jnp.asarray(np.asarray(A.todense()), dtype=dtype))
+        a_sq = jnp.asarray(np.sum(np.asarray(A.data, dtype=np.float64) ** 2),
+                           dtype=jnp.float32 if dtype == jnp.bfloat16
+                           else dtype)
+        return Coupled(jnp.asarray(np.asarray(A.todense()), dtype=dtype),
+                       a_sq=a_sq)
 
     C, Ct = csr_transpose_host(A, dtype=dtype)
     A_tiled = At_tiled = None
