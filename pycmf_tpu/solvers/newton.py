@@ -292,7 +292,7 @@ def make_newton_step(cfg: SolverConfig):
             if is_sparse(Y.A):
                 zterm = Term(Y.At, V, Y.At_tiled, Y.row_sq_t)
             else:
-                zterm = Term(Y.A.T, V)
+                zterm = Term(Y.A.T, V, None, Y.row_sq_t)
             Z = newton_update_factor(
                 kZ, Z, (zterm,), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, **common)
@@ -300,7 +300,7 @@ def make_newton_step(cfg: SolverConfig):
             if is_sparse(X.A):
                 terms = (Term(X.At, U, X.At_tiled, X.row_sq_t),)
             else:
-                terms = (Term(X.A.T, U),)
+                terms = (Term(X.A.T, U, None, X.row_sq_t),)
             links = (cfg.x_link,)
             if cfg.has_Y:
                 terms = terms + (Term(Y.A, Z, Y.A_tiled, Y.row_sq),)

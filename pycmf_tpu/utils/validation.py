@@ -36,12 +36,18 @@ def as_coupled(A, dtype, use_pallas: bool = False,
       'csr'   — always keep CSR (+ tiled layouts when use_pallas).
       'dense' — always densify.
     """
+    fdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+    def _dense_coupled(Ah):
+        sq = Ah.astype(np.float64) ** 2
+        return Coupled(
+            jnp.asarray(Ah, dtype=dtype),
+            row_sq=jnp.asarray(sq.sum(axis=1), dtype=fdt),
+            row_sq_t=jnp.asarray(sq.sum(axis=0), dtype=fdt),
+            a_sq=jnp.asarray(sq.sum(), dtype=fdt))
+
     if not sp.issparse(A):
-        Ah = np.asarray(A)
-        a_sq = jnp.asarray(np.sum(Ah.astype(np.float64) ** 2),
-                           dtype=jnp.float32 if dtype == jnp.bfloat16
-                           else dtype)
-        return Coupled(jnp.asarray(Ah, dtype=dtype), a_sq=a_sq)
+        return _dense_coupled(np.asarray(A))
 
     mode = sparse_mode
     if mode not in ("auto", "csr", "dense"):
@@ -51,11 +57,7 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     if mode == "auto":
         mode = "dense" if nbytes_dense <= densify_threshold else "csr"
     if mode == "dense":
-        a_sq = jnp.asarray(np.sum(np.asarray(A.data, dtype=np.float64) ** 2),
-                           dtype=jnp.float32 if dtype == jnp.bfloat16
-                           else dtype)
-        return Coupled(jnp.asarray(np.asarray(A.todense()), dtype=dtype),
-                       a_sq=a_sq)
+        return _dense_coupled(np.asarray(A.todense()))
 
     C, Ct = csr_transpose_host(A, dtype=dtype)
     A_tiled = At_tiled = None
