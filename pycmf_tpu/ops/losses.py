@@ -52,16 +52,19 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
         else:
             inner = sddmm_dot(A, M, B)
     else:
-        if A.dtype != M.dtype:
-            # Mixed precision (bf16-stored data): the factored identity
-            # suffers catastrophic cancellation — ‖A‖², ⟨A,MBᵀ⟩ and the
-            # cross term are each ≫ the residual near convergence, so a
-            # 2⁻⁸-relative error on the inner product swamps the loss.
-            # Evaluate the residual directly, streamed in row blocks with
-            # f32 accumulation (one data pass per loss eval).
+        if A.dtype != M.dtype and A.size < (1 << 22):
+            # Mixed precision (bf16-stored data), small problem: the
+            # factored identity suffers cancellation — ‖A‖², ⟨A,MBᵀ⟩ and
+            # the cross term are each ≫ the residual near convergence, and
+            # with few products the quantization noise doesn't average out.
+            # Evaluate the residual directly (one streamed data pass).
+            # At large sizes the identity is safe: a_sq is precomputed
+            # exactly, the cross term is full-precision, and the bf16
+            # inner product's random error averages down as 1/√(n·m).
             return _linear_term_direct(A, M, B)
         if a_sq is None:
-            a_sq = jnp.sum(A * A)
+            Af = A.astype(M.dtype) if A.dtype != M.dtype else A
+            a_sq = jnp.sum(Af * Af)
         inner = jnp.sum(matmul(A, B) * M)
     return 0.5 * (a_sq - 2.0 * inner + cross)
 
