@@ -32,8 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(scal_ref, x_ref, u_ref, vt_ref, vtv_ref,
-            unew_ref, numvt_ref, gramu_ref):
+            unew_ref, numvt_ref, gramu_ref,
+            numvt_acc, gramu_acc):
+    # Accumulation lives in SCRATCH (persists across sequential grid steps)
+    # and is written to the outputs once, at the last step. Accumulating
+    # directly in a revisited output block interacts with output
+    # double-buffering on some Mosaic versions (observed wrong results).
     i = pl.program_id(0)
+    n_prog = pl.num_programs(0)
     l1 = scal_ref[0, 0]
     l2 = scal_ref[0, 1]
     eps = scal_ref[0, 2]
@@ -54,15 +60,20 @@ def _kernel(scal_ref, x_ref, u_ref, vt_ref, vtv_ref,
 
     @pl.when(i == 0)
     def _init():
-        numvt_ref[:] = jnp.zeros_like(numvt_ref)
-        gramu_ref[:] = jnp.zeros_like(gramu_ref)
+        numvt_acc[:] = jnp.zeros_like(numvt_acc)
+        gramu_acc[:] = jnp.zeros_like(gramu_acc)
 
     unew_c = unew.astype(x.dtype)
     # numVᵀ += U_newᵀ X  → contract the row-tile dim
-    numvt_ref[:] += jax.lax.dot_general(
+    numvt_acc[:] += jax.lax.dot_general(
         unew_c, x, (((0,), (0,)), ((), ())), preferred_element_type=acc)
-    gramu_ref[:] += jax.lax.dot_general(
+    gramu_acc[:] += jax.lax.dot_general(
         unew, unew, (((0,), (0,)), ((), ())), preferred_element_type=acc)
+
+    @pl.when(i == n_prog - 1)
+    def _flush():
+        numvt_ref[:] = numvt_acc[:]
+        gramu_ref[:] = gramu_acc[:]
 
 
 def _interp() -> bool:
@@ -116,6 +127,10 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
                                  else jnp.float64),
             jax.ShapeDtypeStruct((k, k), jnp.float32 if fdtype != jnp.float64
                                  else jnp.float64),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, m), fdtype),
+            pltpu.VMEM((k, k), fdtype),
         ],
         interpret=_interp(),
     )(scal, Xp, Up, Vt, VtV)
