@@ -164,6 +164,31 @@ class TestNewtonBehavior:
         m.fit(X, Y)
         assert m.loss_history_[-1] < m.loss_history_[0]
 
+    def test_large_k_beyond_unroll_cap(self, rng):
+        """k > the batched-solve unroll cap exercises the XLA fallback
+        inside the full solver (sigmoid → per-row Hessians)."""
+        X, Y = make_problem(rng, n=80, m=50, r=40, k=8, non_negative=False,
+                            binary_y=True)
+        m = CMF(n_components=36, solver="newton", y_link="sigmoid",
+                U_non_negative=False, V_non_negative=False,
+                Z_non_negative=False, use_pallas=True, random_state=0,
+                max_iter=5, tol=0.0)
+        m.fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0]
+
+    def test_single_column_y(self, rng):
+        X, Y = make_problem(rng, r=1)
+        m = CMF(n_components=3, solver="newton", random_state=0, max_iter=10)
+        m.fit(X, Y)
+        assert m.Z_.shape == (1, 3)
+        assert np.isfinite(m.reconstruction_err_)
+
+    def test_k1(self, rng):
+        X, Y = make_problem(rng)
+        m = CMF(n_components=1, solver="newton", random_state=0, max_iter=10)
+        U, V, Z = m.fit_transform(X, Y)
+        assert U.shape[1] == 1 and np.isfinite(m.reconstruction_err_)
+
     def test_damping_keeps_finite(self, rng):
         X, Y = make_problem(rng, noise=0.0)
         m = CMF(n_components=4, solver="newton", hessian_pertubation=1e-3,
