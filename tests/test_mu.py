@@ -181,6 +181,29 @@ class TestMuBehavior:
         assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
 
+    def test_zero_rows_and_cols_stay_finite(self, rng):
+        """ε-guarded denominators (SURVEY.md §4e): all-zero rows/columns
+        drive numerators and denominators to 0 — the update must not NaN."""
+        X, Y = make_problem(rng)
+        X[5, :] = 0.0
+        X[:, 7] = 0.0
+        Y[7, :] = 0.0
+        m = CMF(n_components=4, solver="mu", random_state=0, max_iter=50,
+                tol=0.0)
+        m.fit(X, Y)
+        assert np.all(np.isfinite(m.U_))
+        assert np.all(np.isfinite(m.V_))
+        assert np.all(np.isfinite(m.Z_))
+        assert np.isfinite(m.reconstruction_err_)
+
+    def test_all_zero_X_stays_finite(self, rng):
+        X = np.zeros((30, 20))
+        Y = np.abs(rng.randn(20, 5))
+        m = CMF(n_components=3, solver="mu", random_state=0, max_iter=20,
+                tol=0.0)
+        m.fit(X, Y)
+        assert np.all(np.isfinite(m.U_)) and np.all(np.isfinite(m.V_))
+
     def test_regularization_shrinks_factors(self, problem):
         X, Y = problem
         kw = dict(n_components=4, solver="mu", random_state=0, max_iter=100)
