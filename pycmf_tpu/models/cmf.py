@@ -39,6 +39,20 @@ _DTYPES = {
 }
 
 
+def _jax_seed(random_state) -> int:
+    """Deterministic JAX PRNG seed from any sklearn-style random_state.
+
+    A passed ``np.random.RandomState`` contributes its current generator
+    state (without consuming it), so two differently-seeded instances get
+    different Newton sampling streams.
+    """
+    if isinstance(random_state, np.random.RandomState):
+        return int(random_state.get_state()[1][0])
+    if isinstance(random_state, (int, np.integer)):
+        return int(random_state)
+    return 0
+
+
 class CMF(BaseEstimator, TransformerMixin):
     """Collective Matrix Factorization on TPU.
 
@@ -129,8 +143,11 @@ class CMF(BaseEstimator, TransformerMixin):
     def _resolve_loop(self):
         """'auto' → fully device-resident tol loop on TPU (one dispatch per
         fit; the host loop pays a device-link round trip per eval point),
-        host loop elsewhere (better for debugging/verbose)."""
+        host loop elsewhere. verbose > 0 needs per-eval host readbacks, so
+        auto falls back to the host loop rather than silently not printing."""
         if self.loop == "auto":
+            if self.verbose:
+                return "host"
             return "device" if jax.default_backend() == "tpu" else "host"
         if self.loop not in ("host", "device"):
             raise ValueError("loop must be 'auto', 'host' or 'device'")
@@ -183,6 +200,39 @@ class CMF(BaseEstimator, TransformerMixin):
             use_pallas=self._resolve_use_pallas(),
         )
 
+    def _matrix_sparse_mode(self, A, link):
+        """Per-matrix sparse policy. Sigmoid-linked Newton terms are
+        densified: the solver materializes dense (p, q) sigmoid predictions
+        regardless, so CSR storage saves no memory on the hot path and the
+        per-nonzero alternative is TPU-hostile (docs/PERFORMANCE.md)."""
+        if (self.solver == "newton" and link == "sigmoid"
+                and sp.issparse(A)):
+            if self.sparse_mode == "csr":
+                import warnings
+
+                warnings.warn(
+                    "sparse_mode='csr' is overridden to 'dense' for a "
+                    "sigmoid-linked matrix under solver='newton': the "
+                    "Newton update materializes dense sigmoid predictions "
+                    "of the same size anyway", UserWarning, stacklevel=3)
+            return "dense"
+        return self.sparse_mode
+
+    def _stays_sparse(self, A) -> bool:
+        """Will this host matrix remain CSR on device under current params?"""
+        if not sp.issparse(A):
+            return False
+        if self.n_shards is not None and self.n_shards > 1:
+            return True  # the sharded runner keeps sparse inputs CSR
+        if self.sparse_mode == "dense":
+            return False
+        if self.sparse_mode == "csr":
+            return True
+        from ..utils.validation import DENSIFY_THRESHOLD
+
+        nbytes = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
+        return nbytes > DENSIFY_THRESHOLD
+
     def _validate(self, X, Y):
         validate_cmf_params(
             n_components=self.n_components, solver=self.solver,
@@ -197,12 +247,26 @@ class CMF(BaseEstimator, TransformerMixin):
         if Y is not None:
             Y = check_matrix(Y, "Y", require_non_negative=mu)
         if self.solver == "newton":
-            if sp.issparse(X) and self.x_link == "sigmoid":
-                raise NotImplementedError(
-                    "Newton with sparse X requires x_link='linear'")
-            if Y is not None and sp.issparse(Y) and self.y_link == "sigmoid":
-                raise NotImplementedError(
-                    "Newton with sparse Y requires y_link='linear'")
+            # Sigmoid-linked sparse inputs are densified (see
+            # _matrix_sparse_mode) — except under the sharded runner, which
+            # keeps X CSR in the rows layout; densify on the host there.
+            sharded = self.n_shards is not None and self.n_shards > 1
+            if sharded and sp.issparse(X) and self.x_link == "sigmoid":
+                X = np.asarray(X.todense())
+            if sharded and Y is not None and sp.issparse(Y) \
+                    and self.y_link == "sigmoid":
+                Y = np.asarray(Y.todense())
+            if self.sg_sample_ratio < 1.0:
+                for nm, A, link in (("X", X, self.x_link),
+                                    ("Y", Y, self.y_link)):
+                    if A is None or link == "sigmoid":
+                        continue
+                    if self._stays_sparse(A):
+                        raise ValueError(
+                            f"sg_sample_ratio < 1 cannot subsample a "
+                            f"linear-link {nm} kept in CSR form; use "
+                            "sparse_mode='dense' (or 'auto' below the "
+                            "densify threshold) or sg_sample_ratio=1.0")
         return X, Y
 
     def _run(self, Xc, Yc, U0, V0, Z0, cfg, rng):
@@ -238,8 +302,7 @@ class CMF(BaseEstimator, TransformerMixin):
 
         dt = self._resolve_dtype()
         cfg = self._config(has_Y=Y is not None)
-        seed = self.random_state if isinstance(self.random_state, int) else 0
-        rng = jax.random.PRNGKey(seed)
+        rng = jax.random.PRNGKey(_jax_seed(self.random_state))
 
         if self.n_shards is not None and self.n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
@@ -258,9 +321,11 @@ class CMF(BaseEstimator, TransformerMixin):
             up = self._resolve_use_pallas()
             ddt = self._resolve_data_dtype()
             Xc = as_coupled(X, ddt, use_pallas=up,
-                            sparse_mode=self.sparse_mode)
+                            sparse_mode=self._matrix_sparse_mode(
+                                X, self.x_link))
             Yc = (as_coupled(Y, ddt, use_pallas=up,
-                             sparse_mode=self.sparse_mode)
+                             sparse_mode=self._matrix_sparse_mode(
+                                 Y, self.y_link))
                   if Y is not None else None)
             U0 = jnp.asarray(U0, dtype=dt)
             V0 = jnp.asarray(V0, dtype=dt)
@@ -301,8 +366,12 @@ class CMF(BaseEstimator, TransformerMixin):
         dt = self._resolve_dtype()
 
         if U is None:
-            rng_np = np.random.RandomState(
-                self.random_state if isinstance(self.random_state, int) else None)
+            rng_np = (self.random_state
+                      if isinstance(self.random_state, np.random.RandomState)
+                      else np.random.RandomState(
+                          self.random_state
+                          if isinstance(self.random_state, (int, np.integer))
+                          else None))
             mean = float(X.mean())
             avg = np.sqrt(max(abs(mean), 1e-12) / k)
             U0 = avg * rng_np.standard_normal((n, k))
@@ -313,7 +382,7 @@ class CMF(BaseEstimator, TransformerMixin):
 
         Xc = as_coupled(X, self._resolve_data_dtype(),
                         use_pallas=self._resolve_use_pallas(),
-                        sparse_mode=self.sparse_mode)
+                        sparse_mode=self._matrix_sparse_mode(X, self.x_link))
         V0 = jnp.asarray(self.V_, dtype=dt)
         U0 = jnp.asarray(U0, dtype=dt)
         Z0 = jnp.zeros((0, k), dtype=dt)
@@ -321,8 +390,7 @@ class CMF(BaseEstimator, TransformerMixin):
                            update_Z=False)
         hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
                            self.hessian_pertubation, dtype=dt)
-        rng = jax.random.PRNGKey(
-            self.random_state if isinstance(self.random_state, int) else 0)
+        rng = jax.random.PRNGKey(_jax_seed(self.random_state))
         kw = dict(max_iter=self.max_iter, tol=self.tol,
                   eval_every=self.eval_every, verbose=self.verbose,
                   loop=self._resolve_loop())

@@ -95,12 +95,16 @@ def csr_from_scipy(A, dtype=jnp.float32) -> CsrMatrix:
     row_ids = np.repeat(
         np.arange(A.shape[0], dtype=np.int32), np.diff(indptr)
     )
+    # sq_norm feeds loss/line-search accumulations — keep it f32 even for
+    # bf16-stored data (bf16 would quantize the whole-objective constant).
+    sq_dt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
     return CsrMatrix(
         jnp.asarray(data),
         jnp.asarray(indices),
         jnp.asarray(indptr),
         jnp.asarray(row_ids),
-        jnp.asarray(np.sum(data.astype(np.float64) ** 2), dtype=dtype),
+        jnp.asarray(np.sum(data.astype(np.float64) ** 2), dtype=sq_dt),
         tuple(int(s) for s in A.shape),
     )
 

@@ -73,12 +73,14 @@ def _stack_csr_blocks(blocks, dtype) -> CsrMatrix:
         ptrs.append(np.asarray(b.indptr, dtype=np.int32))
         rids.append(rid)
         sqs.append(np.sum(np.asarray(b.data, dtype=np.float64) ** 2))
+    sq_dt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
     return CsrMatrix(
         jnp.asarray(np.stack(datas), dtype=dtype),
         jnp.asarray(np.stack(idxs)),
         jnp.asarray(np.stack(ptrs)),
         jnp.asarray(np.stack(rids)),
-        jnp.asarray(np.asarray(sqs), dtype=dtype),
+        jnp.asarray(np.asarray(sqs), dtype=sq_dt),
         local_shape,
     )
 
@@ -202,10 +204,12 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
 
     U_pad = np.zeros((n_pad, U0.shape[1]), dtype=np.float64)
     U_pad[:n] = U0
+    fdt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
     ops = _RowOperands(Xd, Xtd, Yd, Ytd, jnp.asarray(mask, dtype=dtype),
                        X_tiled, Xt_tiled,
-                       jnp.asarray(rs, dtype=dtype),
-                       jnp.asarray(rst, dtype=dtype))
+                       jnp.asarray(rs, dtype=fdt),
+                       jnp.asarray(rst, dtype=fdt))
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
@@ -244,6 +248,14 @@ def _prepare_cols(X, Y, V0, d, dtype):
         Yd = None
     else:
         if sp.issparse(Y):
+            import warnings
+
+            warnings.warn(
+                "shard_layout='cols' stores Y as a dense row-sharded block "
+                "on each device; the sparse Y was densified on the host "
+                f"({Y.shape[0]}x{Y.shape[1]}). Fine for label matrices; for "
+                "a large sparse Y use shard_layout='rows' (keeps Y CSR).",
+                UserWarning, stacklevel=3)
             Y = np.asarray(Y.todense())
         Yh = np.zeros((m_pad, Y.shape[1]), dtype=np.float64)
         Yh[:m] = np.asarray(Y)
@@ -319,12 +331,11 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
     eps = hyper.eps
     up = cfg.use_pallas
 
+    VtV = gram(V) if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None
     if cfg.update_U:
-        VtV = gram(V)
         num = _rows_x_mm(ops, V, cfg)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
     if cfg.has_Y and cfg.update_Z:
-        VtV = gram(V)
         if is_sparse(ops.Y):
             num = spmm(ops.Yt, V)
         else:
@@ -353,12 +364,12 @@ def _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
     Xtl = _local_csr(Xtd) if sparse_x else None
     up = cfg.use_pallas
 
+    VtV = (jax.lax.psum(gram(V), AXIS)
+           if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
     if cfg.update_U:
-        VtV = jax.lax.psum(gram(V), AXIS)
         num = jax.lax.psum(spmm(Xl, V) if sparse_x else matmul(Xl, V), AXIS)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
     if cfg.has_Y and cfg.update_Z:
-        VtV = jax.lax.psum(gram(V), AXIS)
         num = jax.lax.psum(matmul(Yd.T, V), AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
     if cfg.update_V:
@@ -592,21 +603,21 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
     out_specs = ((P(AXIS, None), P(), P()), P(), P())
 
     def body(ops, U, V, Z, hyper, rng, n_steps):
+        # rng = (key, absolute iteration offset) — same fold_in schedule as
+        # device_fit_core, so host- and device-loop sharded fits match.
         mask = ops.mask
+        key, off = rng
 
         def one(i, carry):
-            U, V, Z, key = carry
+            U, V, Z = carry
             if solver == "mu":
-                U, V, Z = _mu_rows_iter(ops, U, V, Z, mask, cfg, hyper)
-            else:
-                U, V, Z = _newton_rows_iter(ops, U, V, Z, mask, cfg, hyper,
-                                            jax.random.fold_in(key, i))
-            return U, V, Z, key
+                return _mu_rows_iter(ops, U, V, Z, mask, cfg, hyper)
+            return _newton_rows_iter(ops, U, V, Z, mask, cfg, hyper,
+                                     jax.random.fold_in(key, off + i))
 
-        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, one, (U, V, Z, rng))
-        rng, _ = jax.random.split(rng)
+        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
         loss = _loss_rows(ops, U, V, Z, mask, cfg, hyper)
-        return (U, V, Z), loss, rng
+        return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper, rng, n_steps):
@@ -636,20 +647,18 @@ def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
     out_specs = ((P(), P(AXIS, None), P()), P(), P())
 
     def body(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, n_steps):
-        def one(i, carry):
-            U, V, Z, key = carry
-            if solver == "mu":
-                U, V, Z = _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
-            else:
-                U, V, Z = _newton_cols_iter(
-                    Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper,
-                    jax.random.fold_in(key, i))
-            return U, V, Z, key
+        key, off = rng
 
-        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, one, (U, V, Z, rng))
-        rng, _ = jax.random.split(rng)
+        def one(i, carry):
+            U, V, Z = carry
+            if solver == "mu":
+                return _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
+            return _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg,
+                                     hyper, jax.random.fold_in(key, off + i))
+
+        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
         loss = _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper)
-        return (U, V, Z), loss, rng
+        return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper, rng, n_steps):
@@ -709,8 +718,9 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
                                           _shard_specs_rows(ops))
         state = (ops, U_pad, V, Z)
         state, n_iter, losses, iters, times = run_solver_loop(
-            block, state, hyper, rng, max_iter=max_iter, tol=tol,
-            eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
+            block, state, hyper, (rng, jnp.zeros((), jnp.int32)),
+            max_iter=max_iter, tol=tol, eval_every=eval_every,
+            verbose=verbose, initial_loss_fn=loss_fn)
         _, U, V, Z = state
         return U[:n], V, Z, n_iter, losses, iters, times
 
@@ -734,8 +744,9 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
         state = (Xd, Xtd, Yd, U, V_pad, Z, mask)
         state, n_iter, losses, iters, times = run_solver_loop(
-            block, state, hyper, rng, max_iter=max_iter, tol=tol,
-            eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
+            block, state, hyper, (rng, jnp.zeros((), jnp.int32)),
+            max_iter=max_iter, tol=tol, eval_every=eval_every,
+            verbose=verbose, initial_loss_fn=loss_fn)
         _, _, _, U, V, Z, _ = state
         return U, V[:m], Z, n_iter, losses, iters, times
 

@@ -199,19 +199,34 @@ def device_fit_core(step_fn, loss_core, *, carry_rng: bool):
 
 
 def finish_device_fit(result, eval_every: int, max_iter: int):
-    """Convert a device-fit result into host-side history lists."""
+    """Convert a device-fit result into host-side history lists.
+
+    The on-device history buffer is NaN-padded beyond the stopping point, so
+    "NaN" alone is ambiguous. The slots actually written are derivable from
+    n_iter (init + one per completed eval block + the remainder block if it
+    ran); a non-finite value INSIDE that prefix is divergence and raises —
+    the device loop cannot raise mid-flight, so this is where the host-loop
+    FloatingPointError semantics are restored for the TPU-default path.
+    """
     U, V, Z, n_iter, hist = result
     n_iter = int(n_iter)
     hist = np.asarray(jax.device_get(hist), dtype=np.float64)
-    losses = [float(v) for v in hist if np.isfinite(v)]
-    if losses and not np.isfinite(losses[-1]):
-        losses = losses  # pragma: no cover
     eval_every = max(1, min(eval_every, max_iter))
+    n_blocks = n_iter // eval_every
+    rem_ran = n_iter - n_blocks * eval_every > 0
+    n_filled = 1 + n_blocks + (1 if rem_ran else 0)
+    written = hist[:n_filled]
+    if not np.all(np.isfinite(written)):
+        raise FloatingPointError(
+            f"non-finite loss during device-resident fit (n_iter={n_iter}, "
+            f"history={written.tolist()}); this usually means the problem "
+            "scale overflows the compute dtype — try dtype='float32' (or "
+            "'float64' on CPU), a larger hessian_pertubation (Newton), or "
+            "alpha-regularization. Use loop='host' to locate the failing "
+            "iteration.")
+    losses = [float(v) for v in written]
     iters = [0] + [min((j + 1) * eval_every, max_iter)
                    for j in range(len(losses) - 1)]
-    if any(not np.isfinite(v) for v in losses):
-        raise FloatingPointError(
-            f"non-finite loss during device-resident fit: {losses}")
     return U, V, Z, n_iter, losses, iters
 
 

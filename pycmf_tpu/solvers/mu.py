@@ -89,14 +89,16 @@ def make_mu_step(cfg: SolverConfig):
             V = mu_ratio_update(V, S, num_v, l1, l2, eps, up)
             return U, V, Z
 
+        # V is unchanged between the U and Z updates (pinned U → Z → V
+        # order), so one Gram serves both.
+        VtV = gram(V) if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) \
+            else None
         if cfg.update_U:
             with jax.named_scope("mu/update_U"):
-                VtV = gram(V)
                 num = coupled_mm(X, V, use_pallas=up)
                 U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
         if cfg.has_Y and cfg.update_Z:
             with jax.named_scope("mu/update_Z"):
-                VtV = gram(V)
                 num = coupled_mm(Y, V, transpose=True, use_pallas=up)
                 Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
         if cfg.update_V:

@@ -30,9 +30,12 @@ SURVEY.md §0 note c). No rescaling is applied — g and H scale together, so
 the Newton direction is unchanged in expectation (pinned assumption).
 
 Sparse (CSR) data is supported for linear-link terms without densifying
-(SpMM numerators + factored per-row line-search objective); sigmoid-link
-terms require dense data in v1 (the binding configs only need dense sigmoid,
-BASELINE.json configs #2-#4).
+(SpMM numerators + factored per-row line-search objective). Sigmoid-link
+terms operate on dense data: the accumulation materializes dense (p, q)
+predictions σ(M Bᵀ) regardless, so CSR storage saves nothing — the estimator
+densifies sparse sigmoid-linked inputs at fit time (models/cmf.py
+``_matrix_sparse_mode``) rather than paying per-nonzero gather/scatter, which
+is pathologically slow on TPU (docs/PERFORMANCE.md).
 """
 from __future__ import annotations
 
@@ -118,9 +121,12 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
         return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
 
     if is_sparse(D):
+        # Unreachable through the estimator (sigmoid-linked inputs are
+        # densified at fit time); direct solver callers must densify too.
         raise NotImplementedError(
-            "Newton with a sigmoid link requires dense data in this version; "
-            "densify or use x_link/y_link='linear' for the sparse matrix")
+            "Newton sigmoid-link terms need dense D (the update "
+            "materializes dense sigmoid predictions anyway); densify the "
+            "CSR matrix before building the Term")
     P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
     R = P - D.astype(P.dtype)
     fp = P * (1.0 - P)
@@ -149,14 +155,22 @@ def _phi_term(Mc, ctx) -> jnp.ndarray:
     return 0.5 * jnp.sum(R * R, axis=1)
 
 
-def _solve_direction(H_shared, H_rows, G, use_pallas: bool):
-    """d = H⁻¹ g for all rows at once."""
+def _solve_direction(H_shared, H_rows, G, use_pallas: bool,
+                     spd: bool = True):
+    """d = H⁻¹ g for all rows at once.
+
+    spd: the per-row systems are guaranteed positive-definite (true for
+    hessian_form='gauss', where W = f'² ≥ 0 so H ⪰ (l2+pert)·I). With
+    hessian_form='full' the curvature weights can be negative and H
+    indefinite, so the unpivoted Cholesky Pallas kernel is unsafe (silent
+    NaN pivots) — those systems go through jnp.linalg.solve.
+    """
     if H_rows is None:
         # One shared SPD k×k system (all-linear links) — a single solve.
         c, low = jax.scipy.linalg.cho_factor(H_shared)
         return jax.scipy.linalg.cho_solve((c, low), G.T).T
     H = H_rows + H_shared[None, :, :]
-    if use_pallas:
+    if use_pallas and spd:
         from ..ops.pallas.batched_solve import batched_spd_solve
 
         return batched_spd_solve(H, G)
@@ -197,7 +211,15 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
             zip(terms, links, distributed, masks)):
         term = term if isinstance(term, Term) else Term(*term)
         D, B, tiled, row_sq = term
-        if sample_ratio < 1.0 and not is_sparse(D):
+        if sample_ratio < 1.0:
+            if is_sparse(D):
+                # No silent full-batch fallback: the estimator densifies
+                # sigmoid terms and rejects sampled sparse linear terms at
+                # validation; direct solver callers get the same contract.
+                raise NotImplementedError(
+                    "sg_sample_ratio < 1 requires dense term data; densify "
+                    "the CSR matrix (sparse_mode='dense') or use "
+                    "sg_sample_ratio=1.0")
             key = jax.random.fold_in(rng, t)
             if dist and axis_name is not None:
                 key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -233,7 +255,8 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     if H_rows_dist is not None:
         H_rows = H_rows_dist if H_rows is None else H_rows + H_rows_dist
 
-    d = _solve_direction(H_shared, H_rows, G, use_pallas)
+    d = _solve_direction(H_shared, H_rows, G, use_pallas,
+                         spd=hessian_form == "gauss")
 
     def project(Mc):
         return jnp.maximum(Mc, 0.0) if non_negative else Mc
@@ -339,17 +362,21 @@ def _make_block(cfg: SolverConfig):
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper: Hyper, rng, n_steps: int):
+        # rng = (key, iteration offset): per-iteration keys are fold_in(key,
+        # absolute_iter) — the SAME schedule device_fit_core uses, so host-
+        # and device-loop fits draw identical sampling streams and stay
+        # trajectory-identical even with sg_sample_ratio < 1.
         X, Y, U, V, Z = state
+        key, off = rng
 
         def body(i, carry):
-            U, V, Z, key = carry
-            U, V, Z = step(X, Y, U, V, Z, hyper, jax.random.fold_in(key, i))
-            return U, V, Z, key
+            U, V, Z = carry
+            return step(X, Y, U, V, Z, hyper,
+                        jax.random.fold_in(key, off + i))
 
-        U, V, Z, rng = jax.lax.fori_loop(0, n_steps, body, (U, V, Z, rng))
-        rng, _ = jax.random.split(rng)
+        U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
         loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
-        return (X, Y, U, V, Z), loss, rng
+        return (X, Y, U, V, Z), loss, (key, off + n_steps)
 
     return block
 
@@ -389,8 +416,9 @@ def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
     loss_fn = _make_loss(cfg)
     state = (X, Y, U0, V0, Z0)
     state, n_iter, losses, iters, times = run_solver_loop(
-        block, state, hyper, rng, max_iter=max_iter, tol=tol,
-        eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn,
+        block, state, hyper, (rng, jnp.zeros((), jnp.int32)),
+        max_iter=max_iter, tol=tol, eval_every=eval_every, verbose=verbose,
+        initial_loss_fn=loss_fn,
     )
     _, _, U, V, Z = state
     return U, V, Z, n_iter, losses, iters, times

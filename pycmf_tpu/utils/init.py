@@ -55,7 +55,7 @@ def _init_pair(A, k: int, method: str, rng: np.random.RandomState,
                non_negative: bool) -> Tuple[np.ndarray, np.ndarray]:
     """Initialize (W, H) with A ≈ W Hᵀ; W: (p, k), H: (q, k)."""
     p, q = A.shape
-    if method == "random" or not non_negative:
+    if method == "random":
         avg = np.sqrt(max(abs(_mean(A)), 1e-12) / k)
         W = avg * rng.standard_normal((p, k))
         H = avg * rng.standard_normal((q, k))
@@ -65,11 +65,21 @@ def _init_pair(A, k: int, method: str, rng: np.random.RandomState,
         return W, H
 
     if method == "svd":
+        # Truncated SVD warm start; |·| only when the factors are
+        # constrained non-negative (unconstrained factors keep the signs).
         u, s, vt = _svd_k(A, k)
         rs = np.sqrt(np.maximum(s, 0.0))
         W = u * rs
         H = vt.T * rs
-        return np.abs(W), np.abs(H)
+        if non_negative:
+            return np.abs(W), np.abs(H)
+        return W, H
+
+    if not non_negative:
+        raise ValueError(
+            f"init {method!r} (NNDSVD family) produces non-negative factors "
+            "and cannot initialize unconstrained ones; use 'random' or "
+            "'svd' when a *_non_negative flag is False")
 
     # NNDSVD family (Boutsidis & Gallopoulos 2008)
     u, s, vt = _svd_k(A, k)

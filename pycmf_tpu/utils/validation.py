@@ -77,10 +77,13 @@ def as_coupled(A, dtype, use_pallas: bool = False,
                                        Ah.shape, dtype=dtype)
         At_tiled = tile_csr_chunks_host(Aht.indptr, Aht.indices, Aht.data,
                                         Aht.shape, dtype=dtype)
+    # Row norms stay in fdt (float32 under bf16 data): they feed the Newton
+    # line-search objective, where bf16 quantization would bias the
+    # accept/reject decisions (the dense branch does the same).
     row_sq = jnp.asarray(
-        np.asarray(A.multiply(A).sum(axis=1)).ravel(), dtype=dtype)
+        np.asarray(A.multiply(A).sum(axis=1)).ravel(), dtype=fdt)
     row_sq_t = jnp.asarray(
-        np.asarray(A.multiply(A).sum(axis=0)).ravel(), dtype=dtype)
+        np.asarray(A.multiply(A).sum(axis=0)).ravel(), dtype=fdt)
     return Coupled(C, Ct, A_tiled, At_tiled, row_sq, row_sq_t)
 
 

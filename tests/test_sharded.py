@@ -108,9 +108,8 @@ class TestRowsPallas:
         m3 = CMF(n_components=4, solver="mu", max_iter=15, tol=0.0,
                  dtype="float64", n_shards=8, use_pallas=True,
                  sparse_mode="csr")
-        U0 = np.abs(np.random.RandomState(1).randn(X.shape[0], 4))
-        # reuse m2's init path: refit with explicit factors for determinism
-        m3.fit(X, Y, U=m2.U_ * 0 + m2.U_, V=m2.V_, Z=m2.Z_)
+        # refit from m2's fitted factors so both runs are deterministic
+        m3.fit(X, Y, U=m2.U_, V=m2.V_, Z=m2.Z_)
         m4 = CMF(n_components=4, solver="mu", max_iter=15, tol=0.0,
                  dtype="float64", n_shards=8, use_pallas=False,
                  sparse_mode="csr")
@@ -202,12 +201,38 @@ class TestShardedDeviceLoop:
         assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
 
-    def test_newton_rows_device_converges(self, rng):
+    def test_newton_rows_device_matches_host(self, rng):
         X, Y = make_problem(rng, n=67, m=40)
-        m = CMF(n_components=4, solver="newton", loop="device", n_shards=8,
-                random_state=0, max_iter=10, tol=0.0)
-        m.fit(X, Y)
-        assert m.loss_history_[-1] < m.loss_history_[0] * 0.6
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=10, tol=1e-6,
+                  dtype="float64", n_shards=8, random_state=0)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-12)
+
+    def test_newton_rows_sampled_device_matches_host(self, rng):
+        """sg_sample_ratio < 1: host and device loops must draw the SAME
+        per-iteration sampling keys (fold_in on the absolute iteration), so
+        stochastic trajectories match too — this is where a silent RNG
+        divergence would hide."""
+        X, Y = make_problem(rng, n=67, m=40)
+        U0 = np.abs(rng.randn(X.shape[0], 4))
+        V0 = np.abs(rng.randn(X.shape[1], 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=9, tol=0.0,
+                  eval_every=4, dtype="float64", n_shards=8, random_state=7,
+                  sg_sample_ratio=0.5)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
 
     def test_mu_cols_device_matches_host(self, rng):
         X, Y = make_problem(rng, n=40, m=67)
@@ -222,15 +247,23 @@ class TestShardedDeviceLoop:
         assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
 
-    def test_newton_cols_device_converges(self, rng):
+    def test_newton_cols_device_matches_host(self, rng):
         X, Y = make_problem(rng, n=40, m=67, non_negative=False,
                             binary_y=True)
-        m = CMF(n_components=4, solver="newton", y_link="sigmoid",
-                U_non_negative=False, V_non_negative=False,
-                Z_non_negative=False, loop="device", n_shards=8,
-                shard_layout="cols", random_state=0, max_iter=8, tol=0.0)
-        m.fit(X, Y)
-        assert m.loss_history_[-1] < m.loss_history_[0]
+        U0 = rng.randn(X.shape[0], 4)
+        V0 = rng.randn(X.shape[1], 4)
+        Z0 = rng.randn(Y.shape[1], 4)
+        kw = dict(n_components=4, solver="newton", y_link="sigmoid",
+                  U_non_negative=False, V_non_negative=False,
+                  Z_non_negative=False, n_shards=8, shard_layout="cols",
+                  random_state=0, max_iter=8, tol=1e-7, dtype="float64")
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-12)
 
 
 class TestShardingInfra:
