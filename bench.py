@@ -111,17 +111,32 @@ def main() -> None:
     speedups = {}
 
     # ---- MU -------------------------------------------------------------
+    # f64 is the faithful baseline dtype: the reference does no dtype
+    # management, so it runs at NumPy's float64 default. The f32 run is
+    # logged as the dtype-matched comparison (the TPU side computes in
+    # f32/bf16); the headline uses f64.
     t0 = time.perf_counter()
     _, _, _, it_np, hist_np = numpy_cmf.run_mu(
         X.astype(np.float64), Y.astype(np.float64), U0.copy(), V0.copy(),
         Z0.copy(), max_iter=MAX_ITER, tol=TOL, eval_every=EVAL_EVERY)
     t_np_mu = time.perf_counter() - t0
-    log(f"numpy MU: {it_np} iters, {t_np_mu:.3f}s, loss {hist_np[-1]:.6g}")
+    log(f"numpy MU[f64]: {it_np} iters, {t_np_mu:.3f}s, "
+        f"loss {hist_np[-1]:.6g}")
+    t0 = time.perf_counter()
+    _, _, _, it32, hist32 = numpy_cmf.run_mu(
+        X.astype(np.float32), Y.astype(np.float32),
+        U0.astype(np.float32), V0.astype(np.float32),
+        Z0.astype(np.float32), max_iter=MAX_ITER, tol=TOL,
+        eval_every=EVAL_EVERY)
+    t_np_mu32 = time.perf_counter() - t0
+    log(f"numpy MU[f32]: {it32} iters, {t_np_mu32:.3f}s, "
+        f"loss {hist32[-1]:.6g} (dtype-matched reference point)")
 
-    cfg_mu = SolverConfig(use_pallas=False)
+    cfg_mu = SolverConfig(use_pallas=(backend == "tpu"))
     best = timed_best("mu", cfg_mu, MAX_ITER, TOL, EVAL_EVERY, hist_np[-1])
     if best is not None:
         speedups["mu"] = t_np_mu / best
+        log(f"mu vs f32 baseline: {t_np_mu32 / best:.2f}x")
     else:
         log("MU quality guard failed for all dtypes")
 

@@ -154,17 +154,13 @@ class CMF(BaseEstimator, TransformerMixin):
         return self.loop
 
     def _resolve_use_pallas(self):
-        """None → auto: Pallas kernels only where they beat XLA on the
-        measured hardware. The MU ratio update is NOT one of them — XLA
-        fuses the Gram-matmul + ratio epilogue itself, and the small-tile
-        kernel measured ~100× slower per iteration on the current Mosaic
-        toolchain (docs/PERFORMANCE.md). The winning kernel is Newton's
-        batched Cholesky solve, which is gated inside the solver, so auto
-        resolves to False for MU and True for Newton on TPU."""
+        """None → auto: allow Pallas kernels on TPU; WHICH kernels actually
+        dispatch is the per-kernel measured policy in ops/pallas/policy.py
+        (fused MU X-pass and batched Cholesky are on; the standalone ratio
+        kernel and the per-nnz SpMM are off — docs/PERFORMANCE.md). Off-TPU
+        auto resolves to False so the jnp oracle is the default."""
         if self.use_pallas is None:
-            if jax.default_backend() != "tpu":
-                return False
-            return self.solver == "newton"
+            return jax.default_backend() == "tpu"
         return bool(self.use_pallas)
 
     def _resolve_dtype(self, which=None):

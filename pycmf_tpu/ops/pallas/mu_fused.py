@@ -14,14 +14,27 @@ i.e. the whole X-dependent part of the iteration at ~half the HBM traffic
 (one X pass). The V/Z updates complete outside the kernel from these
 accumulators, bit-identical in structure to the unfused U→Z→V order.
 
+Performance notes (round 2 — this is why the kernel now beats the two-pass):
+- NO per-call jnp.pad of X. Round 1 padded X (and U) to a tile multiple on
+  every iteration, which re-materialized the whole data matrix in HBM — a
+  full extra read+write pass that made the "one-pass" kernel ~1.5× MORE
+  traffic than the two-pass it replaced. The wrapper now picks a row tile
+  that divides n exactly whenever one exists (preferring large tiles to
+  amortize grid-step overhead) and only pads in the rare fallback case.
+- V is passed ALREADY transposed and cast to X's dtype ((k, m), bf16 for
+  the bf16 data path); the f32 V never enters VMEM and nothing is cast
+  per grid step. The U-denominator uses the k×k VᵀV in f32.
+- Accumulators live in scratch (persist across the sequential grid) and
+  flush to the outputs once at the last step — accumulating in a revisited
+  output block miscompiled under output double-buffering on this Mosaic
+  toolchain (observed round 1).
+
 Layout notes (TPU-first):
 - V and the numV accumulator live TRANSPOSED (k, m): with k ≈ 20, the
   natural (m, k) layout pads lanes 20→128 (6.4× VMEM waste); (k, m) pads
   sublanes 20→24 only, so both fit VMEM at m ~ 100k.
 - X tiles may be bfloat16 (data_dtype fast path): MXU runs bf16×bf16 with
   float32 accumulation; factors and accumulators stay float32.
-- Accumulator outputs map to the same block every grid step (init at
-  program 0) — the standard Pallas revisited-output reduction.
 """
 from __future__ import annotations
 
@@ -31,13 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scal_ref, x_ref, u_ref, vt_ref, vtv_ref,
+def _kernel(scal_ref, x_ref, u_ref, vtx_ref, vtv_ref,
             unew_ref, numvt_ref, gramu_ref,
             numvt_acc, gramu_acc):
-    # Accumulation lives in SCRATCH (persists across sequential grid steps)
-    # and is written to the outputs once, at the last step. Accumulating
-    # directly in a revisited output block interacts with output
-    # double-buffering on some Mosaic versions (observed wrong results).
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
     l1 = scal_ref[0, 0]
@@ -45,14 +54,12 @@ def _kernel(scal_ref, x_ref, u_ref, vt_ref, vtv_ref,
     eps = scal_ref[0, 2]
 
     x = x_ref[:]                       # (R, m) data dtype
-    vt = vt_ref[:]                     # (k, m) f32
     u = u_ref[:]                       # (R, k) f32
-    vtc = vt.astype(x.dtype)
 
     acc = u.dtype  # f32 accumulation (f64 under the x64 parity tests)
-    # numU = X Vᵀᵀ → contract m on the MXU
+    # numU = X Vᵀᵀ → contract m on the MXU (both operands in X's dtype)
     num_u = jax.lax.dot_general(
-        x, vtc, (((1,), (1,)), ((), ())), preferred_element_type=acc)
+        x, vtx_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=acc)
 
     den = jnp.dot(u, vtv_ref[:], preferred_element_type=acc)
     unew = u * num_u / (den + l1 + l2 * u + eps)
@@ -80,6 +87,27 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# X-tile VMEM budget. The tile is double-buffered by the pipeline; with the
+# raised scoped-vmem limit (v5e has far more than the 16 MB default cap)
+# 16 MB tiles measured fastest at 20NG scale: bigger tiles amortize the
+# per-grid-step overhead, which dominated the round-1 kernel (rt=400 →
+# 2.43 ms/iter vs rt=240 → 2.67 and rt≈136 → 6.2 round 1, bf16).
+_TILE_BUDGET_BYTES = 16_000_000
+
+
+def _pick_row_tile(n: int, m: int, itemsize: int) -> int:
+    """Largest row tile ≤ budget that divides n, multiple of 16 (covers the
+    bf16 sublane granularity; f32 needs only 8). Falls back to the budget
+    tile (with padding) when n has no suitable divisor."""
+    lanes = -(-m // 128) * 128           # VMEM pads the lane dim to 128
+    max_rows = max(16, _TILE_BUDGET_BYTES // (lanes * itemsize))
+    best = 0
+    for r in range(16, min(1024, max_rows) + 1, 16):
+        if n % r == 0:
+            best = r
+    return best  # 0 → no divisor; caller pads
+
+
 def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
                     VtV: jnp.ndarray, l1, l2, eps,
                     row_tile: int | None = None):
@@ -91,17 +119,25 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
     n, m = X.shape
     k = U.shape[1]
     fdtype = U.dtype
+    pad = 0
     if row_tile is None:
-        # keep the double-buffered X tile ≲ 3 MB
-        bytes_per_row = m * X.dtype.itemsize
-        row_tile = max(8, min(512, (3 << 20) // max(1, bytes_per_row) // 8 * 8))
+        row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
+        if row_tile == 0:
+            # No divisor: pad once (an extra partial pass — rare; real fits
+            # should pre-pad n, see solvers/mu.py fused path).
+            lanes = -(-m // 128) * 128
+            row_tile = max(
+                16, min(512, _TILE_BUDGET_BYTES
+                        // (lanes * X.dtype.itemsize) // 16 * 16))
     nb = -(-n // row_tile)
     pad = nb * row_tile - n
-    Xp = jnp.pad(X, ((0, pad), (0, 0)))
-    Up = jnp.pad(U, ((0, pad), (0, 0)))
-    Vt = V.T
+    if pad:
+        X = jnp.pad(X, ((0, pad), (0, 0)))
+        U = jnp.pad(U, ((0, pad), (0, 0)))
+    Vtx = V.T.astype(X.dtype)           # (k, m), cast ONCE per call
     scal = jnp.stack([jnp.asarray(l1, fdtype), jnp.asarray(l2, fdtype),
                       jnp.asarray(eps, fdtype)]).reshape(1, 3)
+    acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
 
     unew, numvt, gramu = pl.pallas_call(
         _kernel,
@@ -123,15 +159,23 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb * row_tile, k), fdtype),
-            jax.ShapeDtypeStruct((k, m), jnp.float32 if fdtype != jnp.float64
-                                 else jnp.float64),
-            jax.ShapeDtypeStruct((k, k), jnp.float32 if fdtype != jnp.float64
-                                 else jnp.float64),
+            jax.ShapeDtypeStruct((k, m), acc_dt),
+            jax.ShapeDtypeStruct((k, k), acc_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, m), fdtype),
-            pltpu.VMEM((k, k), fdtype),
+            pltpu.VMEM((k, m), acc_dt),
+            pltpu.VMEM((k, k), acc_dt),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * m * k,
+            bytes_accessed=n * m * X.dtype.itemsize * 2,
+            transcendentals=0),
+        # The revisited (k, m) accumulator output is double-buffered by the
+        # pipeline on top of the X-tile double buffer; the default 16 MB
+        # scoped-vmem cap is ~1 MB short at m ≈ 11k with 240-row tiles.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(scal, Xp, Up, Vt, VtV)
-    return unew[:n], numvt.T.astype(fdtype), gramu.astype(fdtype)
+    )(scal, X, U, Vtx, VtV)
+    return unew[:n] if pad else unew, numvt.T.astype(fdtype), \
+        gramu.astype(fdtype)

@@ -1,0 +1,41 @@
+"""Measured per-kernel enablement policy.
+
+``use_pallas`` on the estimator/config means "allow Pallas kernels"; which
+individual kernels actually dispatch on hardware is decided here, from
+measurements on the target chip (docs/PERFORMANCE.md):
+
+- fused_mu_u_pass : ON  — one X pass beats XLA's two-pass once the wrapper
+  stopped re-padding X per iteration (2.4 vs 3.4 ms/iter at 20NG scale,
+  bf16 data, round 2).
+- batched_solve   : ON  — lane-dim batched Cholesky, ~3× over XLA batched LU.
+- mu_ratio        : OFF — XLA fuses the Gram-matmul + ratio epilogue itself;
+  the standalone kernel only adds dispatch overhead.
+- spmm_tiled      : OFF — the per-nonzero scalar-gather loop is unsafe at
+  scale on the current Mosaic toolchain (multi-minute stalls).
+
+Off-TPU every kernel is enabled: tests run them in interpreter mode against
+the jnp oracles. Each kernel can be forced either way with
+``PYCMF_TPU_KERNEL_<NAME>=0|1``.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULTS_TPU = {
+    "fused_mu_u_pass": True,
+    "batched_solve": True,
+    "mu_ratio": False,
+    "spmm_tiled": False,
+    "bell_spmm": True,
+}
+
+
+def kernel_enabled(name: str) -> bool:
+    env = os.environ.get(f"PYCMF_TPU_KERNEL_{name.upper()}")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "")
+    if jax.default_backend() != "tpu":
+        return True  # interpreter mode — exercise every kernel in tests
+    return _DEFAULTS_TPU.get(name, False)

@@ -44,14 +44,18 @@ def tpu_spmm_kernel_enabled() -> bool:
     at small scale) but exhibits pathological compile/runtime behavior at
     larger tile configurations on the current Mosaic toolchain — and an
     in-flight pathological dispatch cannot be cancelled over the device
-    link. TPUs have no fast gather; the supported sparse-input path is the
-    auto-densify policy (dense MXU matmuls win at CMF ranks even at ~0.1%
-    density). Interpreter mode (tests) is always allowed. Set
-    PYCMF_TPU_UNSAFE_SPMM=1 to opt in on hardware.
+    link. TPUs have no fast gather; the supported sparse-input paths are
+    the auto-densify policy (dense MXU matmuls win at CMF ranks even at
+    ~0.1% density) and the block-ELL kernel (ops/pallas/bell.py) for
+    block-structured sparsity too big to densify. Interpreter mode (tests)
+    is always allowed. Force with PYCMF_TPU_KERNEL_SPMM_TILED=1.
     """
-    import os
+    import jax as _jax
 
-    return os.environ.get("PYCMF_TPU_UNSAFE_SPMM", "0") == "1"
+    from .policy import kernel_enabled
+
+    return (_jax.default_backend() != "tpu"
+            or kernel_enabled("spmm_tiled"))
 
 
 @jax.tree_util.register_pytree_node_class

@@ -325,16 +325,36 @@ def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
 
 
 def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
-    """One MU iteration, rows layout. psums: XᵀU and UᵀU (shared-V terms)."""
+    """One MU iteration, rows layout. psums: XᵀU and UᵀU (shared-V terms).
+
+    Dense X with Pallas allowed takes the fused single-X-pass kernel per
+    shard (ops/pallas/mu_fused.py): each chip streams its local X rows once
+    and the kernel's numVᵀ/gramU accumulators are exactly the quantities the
+    layout psums — the multi-chip fusion is free.
+    """
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
     up = cfg.use_pallas
 
+    fused = False
+    if up and cfg.update_U and cfg.update_V and not is_sparse(ops.X) \
+            and U.dtype != jnp.bfloat16:
+        from ..ops.pallas.policy import kernel_enabled
+
+        fused = kernel_enabled("fused_mu_u_pass")
+
+    num_vx = gram_u = None
     VtV = gram(V) if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None
     if cfg.update_U:
-        num = _rows_x_mm(ops, V, cfg)
-        U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+        if fused:
+            from ..ops.pallas.mu_fused import fused_mu_u_pass
+
+            U, num_vx, gram_u = fused_mu_u_pass(ops.X, U, V, VtV,
+                                                l1, l2, eps)
+        else:
+            num = _rows_x_mm(ops, V, cfg)
+            U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
     if cfg.has_Y and cfg.update_Z:
         if is_sparse(ops.Y):
             num = spmm(ops.Yt, V)
@@ -342,9 +362,11 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
             num = matmul(ops.Y.T, V)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
     if cfg.update_V:
-        xtu = _rows_x_mm(ops, U, cfg, transpose=True)
-        num = jax.lax.psum(xtu, AXIS)                # shared-V all-reduce
-        S = jax.lax.psum(gram(U), AXIS)
+        if num_vx is None:
+            num_vx = _rows_x_mm(ops, U, cfg, transpose=True)
+            gram_u = gram(U)
+        num = jax.lax.psum(num_vx, AXIS)             # shared-V all-reduce
+        S = jax.lax.psum(gram_u, AXIS)
         if cfg.has_Y:
             num = num + (spmm(ops.Y, Z) if is_sparse(ops.Y)
                          else matmul(ops.Y, Z))

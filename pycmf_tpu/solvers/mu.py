@@ -38,12 +38,16 @@ def mu_ratio_update(M, S, num, l1, l2, eps, use_pallas: bool = False):
 
     S is the k×k Gram matrix; the Pallas kernel streams row tiles of M/num
     and performs the (tile×k)·(k×k) MXU matmul and the VPU ratio in one pass,
-    never materializing M S in HBM.
+    never materializing M S in HBM. Gated off on hardware by default — XLA
+    fuses this epilogue itself (ops/pallas/policy.py).
     """
     if use_pallas:
-        from ..ops.pallas.mu_update import fused_mu_update
+        from ..ops.pallas.policy import kernel_enabled
 
-        return fused_mu_update(M, S, num, l1, l2, eps)
+        if kernel_enabled("mu_ratio"):
+            from ..ops.pallas.mu_update import fused_mu_update
+
+            return fused_mu_update(M, S, num, l1, l2, eps)
     return M * num / (matmul(M, S) + l1 + l2 * M + eps)
 
 
@@ -57,19 +61,12 @@ def make_mu_step(cfg: SolverConfig):
         eps = hyper.eps
         up = cfg.use_pallas
 
+        from ..ops.pallas.policy import kernel_enabled
         from ..ops.sparse import is_sparse as _is_sp
 
         fused = (up and cfg.update_U and cfg.update_V
-                 and not _is_sp(X.A) and U.dtype != jnp.bfloat16)
-        if fused and jax.default_backend() == "tpu":
-            # EXPERIMENTAL on hardware: the revisited-accumulator pattern
-            # misbehaves under the current Mosaic toolchain (wrong results /
-            # hangs observed); the XLA two-pass iteration is the reliable
-            # TPU path (HBM-roofline-bound; use data_dtype='bfloat16' to
-            # halve it). Opt in via PYCMF_TPU_UNSAFE_FUSED=1.
-            import os
-
-            fused = os.environ.get("PYCMF_TPU_UNSAFE_FUSED", "0") == "1"
+                 and not _is_sp(X.A) and U.dtype != jnp.bfloat16
+                 and kernel_enabled("fused_mu_u_pass"))
         if fused:
             # Single-X-pass iteration (see ops/pallas/mu_fused.py): the
             # kernel returns U_new plus the X-side of V's numerator and

@@ -171,9 +171,12 @@ def _solve_direction(H_shared, H_rows, G, use_pallas: bool,
         return jax.scipy.linalg.cho_solve((c, low), G.T).T
     H = H_rows + H_shared[None, :, :]
     if use_pallas and spd:
-        from ..ops.pallas.batched_solve import batched_spd_solve
+        from ..ops.pallas.policy import kernel_enabled
 
-        return batched_spd_solve(H, G)
+        if kernel_enabled("batched_solve"):
+            from ..ops.pallas.batched_solve import batched_spd_solve
+
+            return batched_spd_solve(H, G)
     return jnp.linalg.solve(H, G[..., None])[..., 0]
 
 
