@@ -37,15 +37,21 @@ def penalty(M: jnp.ndarray, alpha, l1_ratio) -> jnp.ndarray:
 
 
 def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
-                 tiled=None, a_sq=None) -> jnp.ndarray:
+                 tiled=None, a_sq=None, bell_t=None) -> jnp.ndarray:
     """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR).
 
     tiled: optional Pallas tiled-CSR chunks of A — routes the SDDMM through
-    the kernel instead of XLA gathers (slow on TPU)."""
+    the kernel instead of XLA gathers (slow on TPU).
+    bell_t: optional BlockEll layout of Aᵀ — computes the inner product as
+    Σ((AᵀM) ⊙ B) with one MXU block-sparse pass (preferred)."""
     cross = jnp.sum(gram(M) * gram(B))
     if is_sparse(A):
         a_sq = A.sq_norm
-        if tiled is not None:
+        if bell_t is not None:
+            from .pallas.bell import bell_inner
+
+            inner = bell_inner(bell_t, M, B)
+        elif tiled is not None:
             from .pallas.spmm import sddmm_rowdots_chunks
 
             inner = jnp.sum(sddmm_rowdots_chunks(tiled, M, B))
@@ -173,7 +179,7 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
 def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
                         row_mask: Optional[jnp.ndarray] = None,
-                        tiled=None, a_sq=None) -> jnp.ndarray:
+                        tiled=None, a_sq=None, bell_t=None) -> jnp.ndarray:
     """½‖A − f(M Bᵀ)‖²_F for one coupled matrix.
 
     row_mask (optional, dense/sigmoid paths): per-row weights, used by the
@@ -181,20 +187,21 @@ def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
     A and M contribute exactly 0 and need no mask).
     """
     if link == LINEAR:
-        return _linear_term(A, M, B, tiled, a_sq)
+        return _linear_term(A, M, B, tiled, a_sq, bell_t)
     return _sigmoid_term(A, M, B, row_mask)
 
 
 def total_loss(X, Y, U, V, Z, x_link: str, y_link: str, alpha, l1_ratio,
                x_row_mask: Optional[jnp.ndarray] = None,
                x_tiled=None, y_tiled=None, x_a_sq=None,
-               y_a_sq=None) -> jnp.ndarray:
+               y_a_sq=None, x_bell_t=None, y_bell_t=None) -> jnp.ndarray:
     """Full CMF objective L(U, V, Z). Y may be None (single-matrix / NMF)."""
-    loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled, x_a_sq)
+    loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled, x_a_sq,
+                               x_bell_t)
     loss = loss + penalty(U, alpha, l1_ratio) + penalty(V, alpha, l1_ratio)
     if Y is not None:
         loss = loss + reconstruction_term(Y, V, Z, y_link, tiled=y_tiled,
-                                          a_sq=y_a_sq)
+                                          a_sq=y_a_sq, bell_t=y_bell_t)
         loss = loss + penalty(Z, alpha, l1_ratio)
     return loss
 

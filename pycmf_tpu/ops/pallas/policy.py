@@ -25,6 +25,7 @@ import jax
 
 _DEFAULTS_TPU = {
     "fused_mu_u_pass": True,
+    "fused_newton_u_pass": True,
     "batched_solve": True,
     "mu_ratio": False,
     "spmm_tiled": False,

@@ -452,7 +452,7 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
-    from ..solvers.newton import Term
+    from ..solvers.newton import Term, fused_newton_u_allowed
 
     sparse_x = is_sparse(ops.X)
     Xl = _local_csr(ops.X) if sparse_x else ops.X
@@ -461,12 +461,33 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
     Xt_tl = (None if not (cfg.use_pallas and ops.Xt_tiled is not None)
              else _local_tiled(ops.Xt_tiled))
 
+    fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
+    numv_x = gram_u = None
     if cfg.update_U:
-        # Local rows — no communication. Per-shard sample keys.
-        kU = jax.random.fold_in(kU, jax.lax.axis_index(AXIS))
-        U = newton_update_factor(
-            kU, U, (Term(Xl, V, X_tl, ops.row_sq),), (cfg.x_link,), hyper,
-            non_negative=cfg.U_non_negative, **common)
+        if fused:
+            # Single local X pass: Newton row updates are row-local, and the
+            # kernel's XᵀU_new / U_newᵀU_new accumulators are exactly the
+            # shared-V contributions this layout psums below.
+            from ..ops.pallas.newton_fused import fused_newton_linear_u_pass
+
+            k = U.shape[1]
+            l1 = hyper.alpha * hyper.l1_ratio
+            l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+            BtB = gram(V)
+            eye = jnp.eye(k, dtype=U.dtype)
+            H = BtB + (l2 + hyper.hessian_pertubation) * eye
+            c, low = jax.scipy.linalg.cho_factor(H)
+            Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+            U, numv_x, gram_u = fused_newton_linear_u_pass(
+                Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
+                trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative)
+        else:
+            # Local rows — no communication. Per-shard sample keys.
+            kU = jax.random.fold_in(kU, jax.lax.axis_index(AXIS))
+            U = newton_update_factor(
+                kU, U, (Term(Xl, V, X_tl, ops.row_sq),), (cfg.x_link,),
+                hyper, non_negative=cfg.U_non_negative, **common)
         U = U * mask[:, None]   # keep padding rows exactly zero
     if cfg.has_Y and cfg.update_Z:
         Yt = ops.Yt if is_sparse(ops.Y) else ops.Y.T
@@ -475,7 +496,11 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
             non_negative=cfg.Z_non_negative, **common)
     if cfg.update_V:
         Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
-        terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
+        if numv_x is not None:
+            terms = (Term(Xtl, U, None, ops.row_sq_t[0],
+                          DB=numv_x, BtB=gram_u),)
+        else:
+            terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
         links = (cfg.x_link,)
         dist = (True,)
         masks = (mask if cfg.x_link != LINEAR else None,)

@@ -87,17 +87,25 @@ class Coupled(NamedTuple):
     row_sq: Any = None       # (p,) per-row ‖aᵢ‖² of A
     row_sq_t: Any = None     # (q,) per-row norms of Aᵀ
     a_sq: Any = None         # scalar ‖A‖²_F (dense; saves a loss-eval pass)
+    A_bell: Any = None       # BlockEll layout (MXU block-sparse path)
+    At_bell: Any = None
 
 
 def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
                use_pallas: bool = False) -> jnp.ndarray:
     """C.A @ B (or C.Aᵀ @ B) for dense or CSR operands."""
     if is_sparse(C.A):
-        tiled = C.At_tiled if transpose else C.A_tiled
-        if use_pallas and tiled is not None:
-            from ..ops.pallas.spmm import spmm_chunks
+        if use_pallas:
+            bell = C.At_bell if transpose else C.A_bell
+            if bell is not None:
+                from ..ops.pallas.bell import bell_spmm
 
-            return spmm_chunks(tiled, B)
+                return bell_spmm(bell, B)
+            tiled = C.At_tiled if transpose else C.A_tiled
+            if tiled is not None:
+                from ..ops.pallas.spmm import spmm_chunks
+
+                return spmm_chunks(tiled, B)
         return spmm(C.At if transpose else C.A, B)
     a = C.A.T if transpose else C.A
     return matmul(a, B)

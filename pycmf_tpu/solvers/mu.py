@@ -118,10 +118,13 @@ def _loss_core(cfg: SolverConfig):
         YA = Y.A if cfg.has_Y else None
         xt = X.A_tiled if cfg.use_pallas else None
         yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
+        xb = X.At_bell if cfg.use_pallas else None
+        yb = (Y.At_bell if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
                           hyper.alpha, hyper.l1_ratio,
                           x_tiled=xt, y_tiled=yt, x_a_sq=X.a_sq,
-                          y_a_sq=(Y.a_sq if cfg.has_Y else None))
+                          y_a_sq=(Y.a_sq if cfg.has_Y else None),
+                          x_bell_t=xb, y_bell_t=yb)
 
     return loss_fn
 

@@ -57,12 +57,18 @@ class Term(NamedTuple):
 
     tiled  : optional pre-tiled Pallas CSR chunks for D (fit-time constant)
     row_sq : optional precomputed per-row ‖dᵢ‖² (fit-time constant)
+    DB     : optional precomputed D @ B (p, k) — e.g. the XᵀU_new
+             accumulator emitted by the fused Newton U-pass kernel, which
+             saves the V update its own pass over the data
+    BtB    : optional precomputed gram(B) (k, k), paired with DB
     """
 
     D: object
     B: object
     tiled: object = None
     row_sq: object = None
+    DB: object = None
+    BtB: object = None
 
 
 class _LinearCtx(NamedTuple):
@@ -96,17 +102,26 @@ def _sample_columns(rng, D, B, mask, ratio: float):
 
 def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                      distributed: bool, tiled=None, row_sq=None,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False, db=None, btb=None):
     """Return (G_term (p,k), H_shared (k,k) | None, H_rows (p,k,k) | None,
     line-search ctx) for one coupled term."""
     if link == LINEAR:
         # Zero-padded B rows (sharding) contribute 0 to BtB/DB — no mask.
-        BtB = gram(B)
-        if is_sparse(D):
+        BtB = gram(B) if btb is None else btb
+        if db is not None:
+            DB = db
+        elif is_sparse(D):
             if use_pallas and tiled is not None:
-                from ..ops.pallas.spmm import spmm_chunks
+                from ..ops.pallas.bell import BlockEll
 
-                DB = spmm_chunks(tiled, B)
+                if isinstance(tiled, BlockEll):
+                    from ..ops.pallas.bell import bell_spmm
+
+                    DB = bell_spmm(tiled, B)
+                else:
+                    from ..ops.pallas.spmm import spmm_chunks
+
+                    DB = spmm_chunks(tiled, B)
             else:
                 DB = spmm(D, B)
         else:
@@ -213,7 +228,7 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     for t, (term, link, dist, mask) in enumerate(
             zip(terms, links, distributed, masks)):
         term = term if isinstance(term, Term) else Term(*term)
-        D, B, tiled, row_sq = term
+        D, B, tiled, row_sq, db, btb = term
         if sample_ratio < 1.0:
             if is_sparse(D):
                 # No silent full-batch fallback: the estimator densifies
@@ -227,10 +242,11 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
             if dist and axis_name is not None:
                 key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             D, B, mask = _sample_columns(key, D, B, mask, sample_ratio)
-            tiled = row_sq = None  # sampled columns invalidate the caches
+            tiled = row_sq = db = btb = None  # sampling invalidates caches
         G_t, H_sh_t, H_rw_t, ctx = _accumulate_term(
             M, D, B, link, hessian_form, mask, dist,
-            tiled=tiled, row_sq=row_sq, use_pallas=use_pallas)
+            tiled=tiled, row_sq=row_sq, use_pallas=use_pallas,
+            db=db, btb=btb)
         if dist:
             G_dist = G_dist + G_t
             if H_sh_t is not None:
@@ -298,6 +314,20 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     return jnp.where(any_acc[:, None], chosen, M)
 
 
+def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
+    """Static check for the single-X-pass Newton U update (newton_fused.py):
+    linear-link dense full-batch U with the V update to consume the
+    XᵀU_new/gramU accumulators."""
+    if not (cfg.use_pallas and cfg.update_U and cfg.update_V
+            and cfg.x_link == LINEAR and cfg.sg_sample_ratio >= 1.0):
+        return False
+    if is_sparse(A) or U.dtype == jnp.bfloat16 or row_sq is None:
+        return False
+    from ..ops.pallas.policy import kernel_enabled
+
+    return kernel_enabled("fused_newton_u_pass")
+
+
 @lru_cache(maxsize=None)
 def make_newton_step(cfg: SolverConfig):
     """Pure jitted Newton step: update U, then Z, then V (pinned order)."""
@@ -308,15 +338,33 @@ def make_newton_step(cfg: SolverConfig):
                       hessian_form=cfg.hessian_form,
                       sample_ratio=cfg.sg_sample_ratio,
                       use_pallas=cfg.use_pallas)
+        numv_x = gram_u = None
 
         if cfg.update_U:
-            U = newton_update_factor(
-                kU, U, (Term(X.A, V, X.A_tiled, X.row_sq),),
-                (cfg.x_link,), hyper,
-                non_negative=cfg.U_non_negative, **common)
+            if fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
+                from ..ops.pallas.newton_fused import \
+                    fused_newton_linear_u_pass
+
+                k = U.shape[1]
+                l1 = hyper.alpha * hyper.l1_ratio
+                l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+                BtB = gram(V)
+                eye = jnp.eye(k, dtype=U.dtype)
+                H = BtB + (l2 + hyper.hessian_pertubation) * eye
+                c, low = jax.scipy.linalg.cho_factor(H)
+                Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+                U, numv_x, gram_u = fused_newton_linear_u_pass(
+                    X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
+                    trials=cfg.line_search_trials,
+                    non_negative=cfg.U_non_negative)
+            else:
+                U = newton_update_factor(
+                    kU, U, (Term(X.A, V, X.A_bell or X.A_tiled, X.row_sq),),
+                    (cfg.x_link,), hyper,
+                    non_negative=cfg.U_non_negative, **common)
         if cfg.has_Y and cfg.update_Z:
             if is_sparse(Y.A):
-                zterm = Term(Y.At, V, Y.At_tiled, Y.row_sq_t)
+                zterm = Term(Y.At, V, Y.At_bell or Y.At_tiled, Y.row_sq_t)
             else:
                 zterm = Term(Y.A.T, V, None, Y.row_sq_t)
             Z = newton_update_factor(
@@ -324,12 +372,19 @@ def make_newton_step(cfg: SolverConfig):
                 non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
             if is_sparse(X.A):
-                terms = (Term(X.At, U, X.At_tiled, X.row_sq_t),)
+                terms = (Term(X.At, U, X.At_bell or X.At_tiled,
+                              X.row_sq_t),)
+            elif numv_x is not None:
+                # The fused U-pass already produced XᵀU_new and U_newᵀU_new
+                # — the V update's X-side needs no second data pass.
+                terms = (Term(X.A.T, U, None, X.row_sq_t,
+                              DB=numv_x, BtB=gram_u),)
             else:
                 terms = (Term(X.A.T, U, None, X.row_sq_t),)
             links = (cfg.x_link,)
             if cfg.has_Y:
-                terms = terms + (Term(Y.A, Z, Y.A_tiled, Y.row_sq),)
+                terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_tiled,
+                                      Y.row_sq),)
                 links = links + (cfg.y_link,)
             V = newton_update_factor(
                 kV, V, terms, links, hyper,
@@ -346,10 +401,13 @@ def _loss_core(cfg: SolverConfig):
         YA = Y.A if cfg.has_Y else None
         xt = X.A_tiled if cfg.use_pallas else None
         yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
+        xb = X.At_bell if cfg.use_pallas else None
+        yb = (Y.At_bell if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
                           hyper.alpha, hyper.l1_ratio,
                           x_tiled=xt, y_tiled=yt, x_a_sq=X.a_sq,
-                          y_a_sq=(Y.a_sq if cfg.has_Y else None))
+                          y_a_sq=(Y.a_sq if cfg.has_Y else None),
+                          x_bell_t=xb, y_bell_t=yb)
 
     return loss_fn
 

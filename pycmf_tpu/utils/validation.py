@@ -60,23 +60,45 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         return _dense_coupled(np.asarray(A.todense()))
 
     C, Ct = csr_transpose_host(A, dtype=dtype)
-    A_tiled = At_tiled = None
-    import jax as _jax
+    A_tiled = At_tiled = A_bell = At_bell = None
+    if use_pallas:
+        from ..ops.pallas.policy import kernel_enabled
 
-    kernels_usable = (_jax.default_backend() != "tpu")
-    if not kernels_usable:
+        if kernel_enabled("bell_spmm"):
+            # MXU block-sparse layout (ops/pallas/bell.py): dense 128×128
+            # sub-blocks at nonzero positions. Capped at the densify
+            # threshold — if blocks blow past it the sparsity is too
+            # scattered for this layout and we fall back (segment-sum
+            # below; row-sharding is the production answer at that scale).
+            from ..ops.pallas.bell import bell_from_scipy
+
+            A_bell = bell_from_scipy(A, dtype=dtype,
+                                     max_bytes=densify_threshold)
+            if A_bell is not None:
+                At_bell = bell_from_scipy(
+                    sp.csr_matrix(A).T.tocsr(), dtype=dtype,
+                    max_bytes=densify_threshold)
+            if A_bell is None or At_bell is None:
+                import warnings
+
+                A_bell = At_bell = None
+                warnings.warn(
+                    "block-sparse layout exceeds the densify threshold "
+                    "(sparsity too scattered for 128x128 blocks); falling "
+                    "back to segment-sum SpMM — consider n_shards to "
+                    "row-shard and densify per chip", UserWarning,
+                    stacklevel=3)
         from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
 
-        kernels_usable = tpu_spmm_kernel_enabled()
-    if use_pallas and kernels_usable:
-        from ..ops.pallas.spmm import tile_csr_chunks_host
+        if A_bell is None and tpu_spmm_kernel_enabled():
+            from ..ops.pallas.spmm import tile_csr_chunks_host
 
-        Ah = sp.csr_matrix(A)
-        Aht = Ah.T.tocsr()
-        A_tiled = tile_csr_chunks_host(Ah.indptr, Ah.indices, Ah.data,
-                                       Ah.shape, dtype=dtype)
-        At_tiled = tile_csr_chunks_host(Aht.indptr, Aht.indices, Aht.data,
-                                        Aht.shape, dtype=dtype)
+            Ah = sp.csr_matrix(A)
+            Aht = Ah.T.tocsr()
+            A_tiled = tile_csr_chunks_host(Ah.indptr, Ah.indices, Ah.data,
+                                           Ah.shape, dtype=dtype)
+            At_tiled = tile_csr_chunks_host(Aht.indptr, Aht.indices,
+                                            Aht.data, Aht.shape, dtype=dtype)
     # Row norms stay in fdt (float32 under bf16 data): they feed the Newton
     # line-search objective, where bf16 quantization would bias the
     # accept/reject decisions (the dense branch does the same).
@@ -84,7 +106,8 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         np.asarray(A.multiply(A).sum(axis=1)).ravel(), dtype=fdt)
     row_sq_t = jnp.asarray(
         np.asarray(A.multiply(A).sum(axis=0)).ravel(), dtype=fdt)
-    return Coupled(C, Ct, A_tiled, At_tiled, row_sq, row_sq_t)
+    return Coupled(C, Ct, A_tiled, At_tiled, row_sq, row_sq_t,
+                   A_bell=A_bell, At_bell=At_bell)
 
 
 def check_matrix(A, name: str, *, require_non_negative: bool,

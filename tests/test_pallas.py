@@ -247,3 +247,195 @@ class TestSolverIntegration:
         m2 = CMF(use_pallas=True, **kw).fit(X, Y)
         assert np.allclose(m1.U_, m2.U_, rtol=1e-6, atol=1e-8)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-6, atol=1e-8)
+
+
+class TestFusedNewtonUPass:
+    """Oracle tests for ops/pallas/newton_fused.py (interpret mode): the
+    single-X-pass Newton U update must match newton_update_factor exactly
+    (same solve, same line-search semantics), and its accumulators must be
+    XᵀU_new and U_newᵀU_new."""
+
+    def _operands(self, rng, n, m, k, dtype=jnp.float64):
+        import jax.scipy.linalg as jsl
+        from pycmf_tpu.solvers.common import make_hyper
+
+        X = jnp.asarray(np.abs(rng.randn(n, m)), dtype)
+        U = jnp.asarray(np.abs(rng.randn(n, k)), dtype)
+        V = jnp.asarray(np.abs(rng.randn(m, k)), dtype)
+        hyper = make_hyper(alpha=0.1, l1_ratio=0.4, dtype=dtype)
+        row_sq = jnp.sum(X * X, axis=1)
+        l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+        BtB = V.T @ V
+        H = BtB + (l2 + hyper.hessian_pertubation) * jnp.eye(k, dtype=dtype)
+        c, low = jsl.cho_factor(H)
+        Hinv = jsl.cho_solve((c, low), jnp.eye(k, dtype=dtype))
+        return X, U, V, hyper, row_sq, BtB, Hinv
+
+    @pytest.mark.parametrize("trials,nonneg", [(8, True), (8, False),
+                                               (0, True), (3, False)])
+    def test_matches_unfused_update(self, rng, trials, nonneg):
+        from pycmf_tpu.ops.pallas.newton_fused import \
+            fused_newton_linear_u_pass
+        from pycmf_tpu.solvers.newton import Term, newton_update_factor
+
+        n, m, k = 67, 45, 5  # n prime → exercises the padding fallback
+        X, U, V, hyper, row_sq, BtB, Hinv = self._operands(rng, n, m, k)
+        l1 = hyper.alpha * hyper.l1_ratio
+        l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+        Un, numv, gramu = fused_newton_linear_u_pass(
+            X, U, V, BtB, Hinv, row_sq, l1, l2,
+            trials=trials, non_negative=nonneg)
+        Uref = newton_update_factor(
+            jax.random.PRNGKey(0), U, (Term(X, V, None, row_sq),),
+            ("linear",), hyper, non_negative=nonneg, trials=trials,
+            hessian_form="gauss", sample_ratio=1.0, use_pallas=False)
+        assert np.allclose(Un, Uref, rtol=1e-9, atol=1e-11)
+        assert np.allclose(numv, X.T @ Un, rtol=1e-9, atol=1e-11)
+        assert np.allclose(gramu, Un.T @ Un, rtol=1e-9, atol=1e-11)
+
+    def test_divisible_rows_no_padding(self, rng):
+        from pycmf_tpu.ops.pallas.newton_fused import \
+            fused_newton_linear_u_pass
+        from pycmf_tpu.solvers.newton import Term, newton_update_factor
+
+        n, m, k = 64, 30, 4
+        X, U, V, hyper, row_sq, BtB, Hinv = self._operands(rng, n, m, k)
+        l1 = hyper.alpha * hyper.l1_ratio
+        l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+        Un, numv, gramu = fused_newton_linear_u_pass(
+            X, U, V, BtB, Hinv, row_sq, l1, l2, trials=8, non_negative=True,
+            row_tile=16)  # multiple grid steps exercise the accumulators
+        Uref = newton_update_factor(
+            jax.random.PRNGKey(0), U, (Term(X, V, None, row_sq),),
+            ("linear",), hyper, non_negative=True, trials=8,
+            hessian_form="gauss", sample_ratio=1.0, use_pallas=False)
+        assert np.allclose(Un, Uref, rtol=1e-9, atol=1e-11)
+        assert np.allclose(numv, X.T @ Un, rtol=1e-9, atol=1e-11)
+
+    def test_estimator_fused_matches_unfused(self, rng):
+        """Full Newton fit: use_pallas=True (fused U pass + precomputed
+        DB/BtB in the V update) must track use_pallas=False."""
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=50, m=30, binary_y=True)
+        kw = dict(n_components=4, solver="newton", y_link="sigmoid",
+                  max_iter=6, tol=0.0, dtype="float64", random_state=0,
+                  sparse_mode="dense")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+
+    def test_sharded_fused_matches_unfused(self, rng):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=67, m=40)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", n_shards=8)
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
+
+
+class TestBlockEll:
+    """ops/pallas/bell.py: the MXU block-sparse SpMM (interpret mode)."""
+
+    def _block_sparse(self, rng, p, q, frac=0.2):
+        import scipy.sparse as sp
+
+        A = np.zeros((p, q))
+        nrb, ncb = -(-p // 128), -(-q // 128)
+        for i in range(nrb):
+            for j in range(ncb):
+                if rng.rand() < frac:
+                    r0, c0 = i * 128, j * 128
+                    A[r0:min(r0 + 128, p), c0:min(c0 + 128, q)] = \
+                        rng.rand(min(128, p - r0), min(128, q - c0))
+        return sp.csr_matrix(A), A
+
+    def test_spmm_matches_scipy(self, rng):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy, bell_spmm
+
+        As, Ad = self._block_sparse(rng, 300, 260)
+        bell = bell_from_scipy(As, dtype=jnp.float64)
+        assert bell is not None
+        B = jnp.asarray(rng.randn(260, 5))
+        out = bell_spmm(bell, B)
+        assert out.shape == (300, 5)
+        assert np.allclose(out, Ad @ np.asarray(B), rtol=1e-10, atol=1e-12)
+
+    def test_empty_row_blocks_are_zero(self, rng):
+        """Row blocks with no nonzeros must come out exactly zero (the
+        converter inserts explicit zero blocks so the kernel initializes
+        every output row)."""
+        import scipy.sparse as sp
+
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy, bell_spmm
+
+        A = np.zeros((400, 200))
+        A[5, 7] = 3.0       # only the first row block has data
+        A[385, 100] = 2.0   # ...and the last
+        bell = bell_from_scipy(sp.csr_matrix(A), dtype=jnp.float64)
+        B = jnp.asarray(rng.randn(200, 4))
+        out = bell_spmm(bell, B)
+        assert np.allclose(out, A @ np.asarray(B), rtol=1e-12, atol=1e-12)
+        assert np.all(np.asarray(out[128:384]) == 0.0)
+
+    def test_inner_matches_direct(self, rng):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy, bell_inner
+
+        As, Ad = self._block_sparse(rng, 290, 140)
+        bell_t = bell_from_scipy(As.T.tocsr(), dtype=jnp.float64)
+        M = jnp.asarray(rng.randn(290, 4))
+        B = jnp.asarray(rng.randn(140, 4))
+        ref = float(np.sum(Ad * (np.asarray(M) @ np.asarray(B).T)))
+        assert np.allclose(float(bell_inner(bell_t, M, B)), ref, rtol=1e-10)
+
+    def test_converter_refuses_over_budget(self, rng):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy
+
+        As, _ = self._block_sparse(rng, 300, 260, frac=0.5)
+        assert bell_from_scipy(As, dtype=jnp.float64, max_bytes=100) is None
+
+    def test_fill_diagnostic(self, rng):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy
+
+        As, _ = self._block_sparse(rng, 256, 256, frac=1.0)
+        bell = bell_from_scipy(As, dtype=jnp.float64)
+        assert 0.0 < bell.fill <= 1.0
+
+    def test_estimator_csr_pallas_matches_dense(self, rng):
+        """Full MU + Newton fits through the BlockEll path (sparse_mode=
+        'csr', use_pallas=True) must match the dense path."""
+        import scipy.sparse as sp
+
+        from pycmf_tpu import CMF
+
+        As, Ad = self._block_sparse(rng, 280, 180, frac=0.3)
+        Y = np.abs(rng.randn(180, 6))
+        U0 = np.abs(rng.randn(280, 4))
+        V0 = np.abs(rng.randn(180, 4))
+        Z0 = np.abs(rng.randn(6, 4))
+        for solver, iters in (("mu", 15), ("newton", 5)):
+            kw = dict(n_components=4, solver=solver, max_iter=iters,
+                      tol=0.0, dtype="float64")
+            m1 = CMF(sparse_mode="dense", use_pallas=False, **kw).fit(
+                sp.csr_matrix(As), Y, U=U0, V=V0, Z=Z0)
+            m2 = CMF(sparse_mode="csr", use_pallas=True, **kw).fit(
+                sp.csr_matrix(As), Y, U=U0, V=V0, Z=Z0)
+            assert np.allclose(m1.loss_history_, m2.loss_history_,
+                               rtol=1e-9), solver
+            assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9), solver
+            assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9), solver
