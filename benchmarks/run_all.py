@@ -113,8 +113,33 @@ def main():
     else:
         Xs, Ys, src = load_20ng()
     U0, V0, Z0 = initialize_factors(Xs, Ys, k, random_state=0)
+    # The estimator fit re-uploads the (auto-densified) matrix every call;
+    # through this container's ~MB/s tunneled device link that upload
+    # dwarfs the solve (real TPU hosts load via PCIe/DMA in ~0.1s). Report
+    # BOTH: the estimator fit (upload-bound here) and the solver run with
+    # device-resident operands (what bench.py, the driver metric, times).
+    import jax.numpy as jnp
+
+    from pycmf_tpu.solvers.common import SolverConfig, make_hyper
+    from pycmf_tpu.solvers.mu import run_mu
+    from pycmf_tpu.utils.validation import as_coupled
+
     t = timed_fit(CMF(n_components=k, solver="mu", **common),
                   Xs, Ys, U0, V0, Z0)
+    Xc = as_coupled(Xs, jnp.float32)
+    Yc = as_coupled(Ys, jnp.float32)
+    cfg3 = SolverConfig(use_pallas=jax.default_backend() == "tpu")
+    hyp3 = make_hyper(dtype=jnp.float32)
+    loop3 = "device" if jax.default_backend() == "tpu" else "host"
+    kw3 = dict(max_iter=200, tol=1e-4, eval_every=10, loop=loop3)
+    run_mu(Xc, Yc, jnp.asarray(U0, jnp.float32),
+           jnp.asarray(V0, jnp.float32), jnp.asarray(Z0, jnp.float32),
+           cfg3, hyp3, **kw3)  # warm
+    t0 = time.perf_counter()
+    run_mu(Xc, Yc, jnp.asarray(U0, jnp.float32),
+           jnp.asarray(V0, jnp.float32), jnp.asarray(Z0, jnp.float32),
+           cfg3, hyp3, **kw3)
+    t_resident = time.perf_counter() - t0
     t_np = None
     if not args.skip_baseline:
         t0 = time.perf_counter()
@@ -122,7 +147,10 @@ def main():
                          U0.copy(), V0.copy(), Z0.copy(), max_iter=200,
                          tol=1e-4)
         t_np = time.perf_counter() - t0
-    record("3:mu_sparse_20ng", t, t_np, extra=src)
+    record("3:mu_sparse_20ng", t, t_np,
+           extra=f"{src}; fit() is upload-bound on the dev tunnel — "
+                 f"solver with resident data: {t_resident:.3f}s "
+                 f"({(t_np or 0) / t_resident:.1f}x)")
 
     # -- config 4: stochastic minibatch Newton on tall X -------------------
     tall_n = 20000 // sc

@@ -312,7 +312,7 @@ class CMF(BaseEstimator, TransformerMixin):
                 n_shards=self.n_shards, layout=self.shard_layout, dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
-                loop=self._resolve_loop())
+                loop=self._resolve_loop(), sparse_mode=self.sparse_mode)
         else:
             up = self._resolve_use_pallas()
             ddt = self._resolve_data_dtype()

@@ -732,10 +732,17 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
                 hyper: Hyper, rng, *, n_shards: int, layout: str = "rows",
                 dtype=jnp.float32, mesh=None, max_iter: int = 200,
                 tol: float = 1e-4, eval_every: int = 10, verbose: int = 0,
-                loop: str = "host"):
+                loop: str = "host", sparse_mode: str = "auto"):
     """Sharded fit driver. X/Y are host matrices (ndarray or scipy.sparse);
     U0/V0/Z0 host ndarrays. Returns the same tuple as run_mu/run_newton.
-    loop='device' runs the whole tol loop inside shard_map (one dispatch)."""
+    loop='device' runs the whole tol loop inside shard_map (one dispatch).
+
+    sparse_mode='auto' densifies a sparse X when each chip's LOCAL shard
+    fits the densify threshold — sharding is the TPU answer to "too big to
+    densify" (docs/PERFORMANCE.md sparse decision tree), and the dense
+    local path runs the fused single-X-pass kernels per shard. 'csr' keeps
+    the per-shard CSR + segment-sum path.
+    """
     import time as _time
 
     from ..solvers.common import finish_device_fit
@@ -744,6 +751,16 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         mesh = make_mesh(n_shards)
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = U0.shape[1]
+
+    if sp.issparse(X) and sparse_mode != "csr":
+        from ..utils.validation import DENSIFY_THRESHOLD
+
+        n, m = X.shape
+        local = (-(-n // d)) * m if layout == "rows" else n * (-(-m // d))
+        if sparse_mode == "dense" or local * 4 <= DENSIFY_THRESHOLD:
+            # NB single-controller: the HOST materializes the full dense
+            # matrix while splitting; each chip's HBM holds only its shard.
+            X = np.asarray(X.todense())
 
     if layout == "rows":
         ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype,

@@ -38,7 +38,7 @@ class TestRowsLayout:
 
     def test_mu_sparse_matches_single_device(self, rng):
         X, Y = make_problem(rng, n=67, m=40, sparse=True)
-        m1, m2 = _fit_pair(X, Y, rng)
+        m1, m2 = _fit_pair(X, Y, rng, sparse_mode="csr")
         assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
@@ -76,7 +76,8 @@ class TestRowsLayout:
 
     def test_newton_sparse_matches_single_device(self, rng):
         X, Y = make_problem(rng, n=67, m=40, sparse=True)
-        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=8)
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", max_iter=8,
+                           sparse_mode="csr")
         assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
@@ -141,7 +142,7 @@ class TestColsLayout:
 
     def test_mu_sparse_matches_single_device(self, rng):
         X, Y = make_problem(rng, n=40, m=67, sparse=True)
-        m1, m2 = _fit_pair(X, Y, rng, layout="cols")
+        m1, m2 = _fit_pair(X, Y, rng, layout="cols", sparse_mode="csr")
         assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
 
@@ -179,7 +180,7 @@ class TestColsLayout:
     def test_newton_sparse_matches_single_device(self, rng):
         X, Y = make_problem(rng, n=40, m=67, sparse=True)
         m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
-                           max_iter=6)
+                           max_iter=6, sparse_mode="csr")
         assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
@@ -193,7 +194,7 @@ class TestShardedDeviceLoop:
         V0 = np.abs(rng.randn(X.shape[1], 4))
         Z0 = np.abs(rng.randn(Y.shape[1], 4))
         kw = dict(n_components=4, solver="mu", max_iter=40, tol=1e-5,
-                  dtype="float64", n_shards=8)
+                  dtype="float64", n_shards=8, sparse_mode="csr")
         m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
         m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
         assert m1.n_iter_ == m2.n_iter_
@@ -289,3 +290,22 @@ class TestShardingInfra:
         X, Y = make_problem(rng)
         with pytest.raises(ValueError, match="devices"):
             CMF(n_components=4, n_shards=999, max_iter=2).fit(X, Y)
+
+
+class TestShardedAutoDensify:
+    def test_sparse_auto_densifies_per_shard_and_matches_csr(self, rng):
+        """sparse_mode='auto' densifies each shard's local block when it
+        fits the threshold (the production path for big uniform-sparse
+        inputs: shard until local blocks densify); must match the CSR
+        sharded path numerically."""
+        X, Y = make_problem(rng, n=67, m=40, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", n_shards=8)
+        m1 = CMF(sparse_mode="csr", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(sparse_mode="auto", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
