@@ -121,7 +121,8 @@ class FitResult(NamedTuple):
     step_times: List[float]        # host wall-time per jitted block
 
 
-def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool):
+def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool,
+                         aux_loss=None, aux_init=None):
     """Build a fully device-resident fit: the eval/tol loop runs as a
     lax.while_loop inside ONE jitted computation, so a whole fit costs a
     single dispatch + readback (the host loop pays one round trip per
@@ -134,18 +135,29 @@ def make_device_fit_loop(step_fn, loss_core, *, carry_rng: bool):
     (U, V, Z, n_iter, hist) with hist[j] = loss after j eval points
     (NaN beyond the stop point). Stopping rule identical to the host loop:
     (L_prev − L)/L_init < tol, checked every eval_every iterations.
+
+    aux_loss/aux_init (optional): step_fn instead returns (U, V, Z, aux)
+    and eval-point losses come from aux_loss(state, aux, hyper) — for
+    steps that already computed the loss ingredients (e.g. MU's XᵀU/UᵀU),
+    making loss/tol checks free of extra data passes. aux_init(U, V, Z)
+    supplies a zero-valued aux of the right structure for the loop carry
+    (it is always overwritten before first use since eval_every ≥ 1).
+    The initial loss L0 still comes from loss_core.
     """
-    core = device_fit_core(step_fn, loss_core, carry_rng=carry_rng)
+    core = device_fit_core(step_fn, loss_core, carry_rng=carry_rng,
+                           aux_loss=aux_loss, aux_init=aux_init)
     return jax.jit(core, static_argnames=("max_iter", "eval_every"))
 
 
-def device_fit_core(step_fn, loss_core, *, carry_rng: bool):
+def device_fit_core(step_fn, loss_core, *, carry_rng: bool,
+                    aux_loss=None, aux_init=None):
     """Un-jitted device-fit loop (the body of make_device_fit_loop).
 
     Exposed separately so the sharded runners can place the ENTIRE loop
     inside shard_map — every device runs it in lockstep, synchronized by
     the psums inside step_fn/loss_core, and the multi-chip fit costs one
     dispatch total."""
+    with_aux = aux_loss is not None
 
     def fit(X, Y, U, V, Z, hyper, rng, tol, max_iter: int, eval_every: int):
         eval_every = max(1, min(eval_every, max_iter))
@@ -155,51 +167,62 @@ def device_fit_core(step_fn, loss_core, *, carry_rng: bool):
         dtype = U.dtype
         L0 = loss_core((X, Y, U, V, Z), hyper)
         hist0 = jnp.full((n_slots,), jnp.nan, dtype).at[0].set(L0)
+        aux0 = aux_init(U, V, Z) if with_aux else ()
 
-        def run_steps(U, V, Z, key, n, base):
+        def run_steps(U, V, Z, key, aux, n, base):
             def one(i, c):
-                U, V, Z, key = c
+                U, V, Z, key, aux = c
+                args = (X, Y, U, V, Z, hyper)
                 if carry_rng:
-                    U, V, Z = step_fn(X, Y, U, V, Z, hyper,
-                                      jax.random.fold_in(key, base + i))
+                    args = args + (jax.random.fold_in(key, base + i),)
+                out = step_fn(*args)
+                if with_aux:
+                    U, V, Z, aux = out
                 else:
-                    U, V, Z = step_fn(X, Y, U, V, Z, hyper)
-                return U, V, Z, key
-            return jax.lax.fori_loop(0, n, one, (U, V, Z, key))
+                    U, V, Z = out
+                return U, V, Z, key, aux
+            return jax.lax.fori_loop(0, n, one, (U, V, Z, key, aux))
+
+        def eval_loss(U, V, Z, aux):
+            if with_aux:
+                return aux_loss((X, Y, U, V, Z), aux, hyper)
+            return loss_core((X, Y, U, V, Z), hyper)
 
         def cond(c):
             i, stop = c[0], c[1]
             return jnp.logical_and(jnp.logical_not(stop), i < n_full)
 
         def body(c):
-            i, stop, U, V, Z, key, prev, hist = c
-            U, V, Z, key = run_steps(U, V, Z, key, eval_every,
-                                     i * eval_every)
-            loss = loss_core((X, Y, U, V, Z), hyper)
+            i, stop, U, V, Z, key, aux, prev, hist = c
+            U, V, Z, key, aux = run_steps(U, V, Z, key, aux, eval_every,
+                                          i * eval_every)
+            loss = eval_loss(U, V, Z, aux)
             hist = hist.at[i + 1].set(loss)
             stop = jnp.logical_and(L0 > 0, (prev - loss) / L0 < tol)
-            return i + 1, stop, U, V, Z, key, loss, hist
+            return i + 1, stop, U, V, Z, key, aux, loss, hist
 
         key0 = rng if carry_rng else jax.random.PRNGKey(0)
-        i, stop, U, V, Z, key, prev, hist = jax.lax.while_loop(
+        i, stop, U, V, Z, key, aux, prev, hist = jax.lax.while_loop(
             cond, body,
-            (jnp.asarray(0), jnp.asarray(False), U, V, Z, key0, L0, hist0))
+            (jnp.asarray(0), jnp.asarray(False), U, V, Z, key0, aux0, L0,
+             hist0))
 
         n_iter = i * eval_every
         if rem:
             def with_rem(args):
-                U, V, Z, key, hist = args
-                U, V, Z, key = run_steps(U, V, Z, key, rem, n_full * eval_every)
-                loss = loss_core((X, Y, U, V, Z), hyper)
+                U, V, Z, key, aux, hist = args
+                U, V, Z, key, aux = run_steps(U, V, Z, key, aux, rem,
+                                              n_full * eval_every)
+                loss = eval_loss(U, V, Z, aux)
                 return U, V, Z, hist.at[i + 1].set(loss)
 
             def without_rem(args):
-                U, V, Z, key, hist = args
+                U, V, Z, key, aux, hist = args
                 return U, V, Z, hist
 
             U, V, Z, hist = jax.lax.cond(
                 jnp.logical_not(stop), with_rem, without_rem,
-                (U, V, Z, key, hist))
+                (U, V, Z, key, aux, hist))
             n_iter = n_iter + jnp.where(stop, 0, rem)
         return U, V, Z, n_iter, hist
 

@@ -52,8 +52,17 @@ def mu_ratio_update(M, S, num, l1, l2, eps, use_pallas: bool = False):
 
 
 @lru_cache(maxsize=None)
-def make_mu_step(cfg: SolverConfig):
-    """Build the pure jitted MU step for a static config."""
+def make_mu_step(cfg: SolverConfig, with_aux: bool = False):
+    """Build the pure jitted MU step for a static config.
+
+    with_aux: additionally return (numV_x, gramU) = (XᵀU_new, U_newᵀU_new)
+    — V's X-side update terms, which the step computes anyway. The fit
+    loops use them to evaluate the loss via the factored identity with
+    ZERO extra passes over X (see _aux_loss), so loss/tol checks are free.
+    Requires update_U and update_V (both quantities must be fresh).
+    """
+    if with_aux:
+        assert cfg.update_U and cfg.update_V
 
     def step(X: Coupled, Y, U, V, Z, hyper: Hyper):
         l1 = hyper.alpha * hyper.l1_ratio
@@ -84,6 +93,8 @@ def make_mu_step(cfg: SolverConfig):
                 num_v = num_v + coupled_mm(Y, Z, use_pallas=up)
                 S = S + gram(Z)
             V = mu_ratio_update(V, S, num_v, l1, l2, eps, up)
+            if with_aux:
+                return U, V, Z, (num_vx, gram_u)
             return U, V, Z
 
         # V is unchanged between the U and Z updates (pinned U → Z → V
@@ -100,15 +111,65 @@ def make_mu_step(cfg: SolverConfig):
                 Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
         if cfg.update_V:
             with jax.named_scope("mu/update_V"):
-                num = coupled_mm(X, U, transpose=True, use_pallas=up)
-                S = gram(U)
+                num_vx = coupled_mm(X, U, transpose=True, use_pallas=up)
+                gram_u = gram(U)
+                num, S = num_vx, gram_u
                 if cfg.has_Y:
                     num = num + coupled_mm(Y, Z, use_pallas=up)
                     S = S + gram(Z)
                 V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+        if with_aux:
+            return U, V, Z, (num_vx, gram_u)
         return U, V, Z
 
     return step
+
+
+@lru_cache(maxsize=None)
+def _aux_loss(cfg: SolverConfig):
+    """Loss from the step's aux terms — NO pass over X.
+
+    L_x = ½(‖X‖² − 2·Σ(numV_x ⊙ V) + Σ(gramU ⊙ VᵀV)) with numV_x = XᵀU and
+    gramU = UᵀU taken from the step just run (U, V are the post-step
+    factors: numV_x uses U_new and is contracted against V_new, exactly
+    ⟨X, U Vᵀ⟩ at the current iterate). The Y term is evaluated directly
+    (Y is the small matrix). Same value as _loss_core up to fp association.
+    """
+    from ..ops.losses import penalty, reconstruction_term
+    from ..ops.sparse import is_sparse as _is_sp
+
+    def loss_fn(state, aux, hyper: Hyper):
+        X, Y, U, V, Z = state
+        num_vx, gram_u = aux
+        a_sq = X.A.sq_norm if _is_sp(X.A) else X.a_sq
+        inner = jnp.sum(num_vx * V)
+        x_term = 0.5 * (a_sq - 2.0 * inner + jnp.sum(gram_u * gram(V)))
+        loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio) \
+            + penalty(V, hyper.alpha, hyper.l1_ratio)
+        if cfg.has_Y:
+            yt = Y.A_tiled if cfg.use_pallas else None
+            yb = Y.At_bell if cfg.use_pallas else None
+            loss = loss + reconstruction_term(
+                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb)
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _aux_ok(cfg: SolverConfig, X: Coupled, U0) -> bool:
+    """Whether the zero-extra-pass aux loss applies: both U and V updated
+    (fresh aux), and not the small-mixed-precision regime where the
+    factored identity suffers cancellation (ops/losses.py picks a direct
+    streamed residual there — keep the two paths consistent)."""
+    if not (cfg.use_pallas and cfg.update_U and cfg.update_V):
+        return False
+    from ..ops.sparse import is_sparse as _is_sp
+
+    if not _is_sp(X.A) and X.A.dtype != U0.dtype \
+            and X.A.size < (1 << 22):
+        return False
+    return True
 
 
 @lru_cache(maxsize=None)
@@ -134,33 +195,52 @@ def _make_loss(cfg: SolverConfig):
     return jax.jit(_loss_core(cfg))
 
 
+def _aux_zero(U, V, Z):
+    k = U.shape[1]
+    return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
+
+
 @lru_cache(maxsize=None)
-def _make_block(cfg: SolverConfig):
-    step = make_mu_step(cfg)
+def _make_block(cfg: SolverConfig, aux: bool = False):
+    step = make_mu_step(cfg, with_aux=aux)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper: Hyper, rng, n_steps: int):
         X, Y, U, V, Z = state
 
-        def body(_, fac):
-            return step(X, Y, *fac, hyper)
+        if aux:
+            def body(_, c):
+                U, V, Z, _aux = c
+                return step(X, Y, U, V, Z, hyper)
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
-        loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
+            U, V, Z, a = jax.lax.fori_loop(
+                0, n_steps, body, (U, V, Z, _aux_zero(U, V, Z)))
+            loss = _aux_loss(cfg)((X, Y, U, V, Z), a, hyper)
+        else:
+            def body(_, fac):
+                return step(X, Y, *fac, hyper)
+
+            U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
+            loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
         return (X, Y, U, V, Z), loss, rng
 
     return block
 
 
 @lru_cache(maxsize=None)
-def _make_device_fit(cfg: SolverConfig):
+def _make_device_fit(cfg: SolverConfig, aux: bool = False):
     from .common import make_device_fit_loop
 
-    step = make_mu_step(cfg)
+    step = make_mu_step(cfg, with_aux=aux)
 
     def step_fn(X, Y, U, V, Z, hyper):
         return step(X, Y, U, V, Z, hyper)
 
+    if aux:
+        return make_device_fit_loop(step_fn, _loss_core(cfg),
+                                    carry_rng=False,
+                                    aux_loss=_aux_loss(cfg),
+                                    aux_init=_aux_zero)
     return make_device_fit_loop(step_fn, _loss_core(cfg), carry_rng=False)
 
 
@@ -175,8 +255,9 @@ def run_mu(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
 
     from .common import finish_device_fit
 
+    aux = _aux_ok(cfg, X, U0)
     if loop == "device":
-        fitf = _make_device_fit(cfg)
+        fitf = _make_device_fit(cfg, aux)
         tol_s = jnp.asarray(tol, U0.dtype)
         t0 = _time.perf_counter()
         out = fitf(X, Y, U0, V0, Z0, hyper, None, tol_s, max_iter,
@@ -186,7 +267,7 @@ def run_mu(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
         return U, V, Z, n_iter, losses, iters, \
             [_time.perf_counter() - t0]
 
-    block = _make_block(cfg)
+    block = _make_block(cfg, aux)
     loss_fn = _make_loss(cfg)
     state = (X, Y, U0, V0, Z0)
     state, n_iter, losses, iters, times = run_solver_loop(

@@ -210,3 +210,66 @@ class TestMuBehavior:
         m0 = CMF(alpha=0.0, **kw).fit(X, Y)
         m1 = CMF(alpha=5.0, l1_ratio=1.0, **kw).fit(X, Y)
         assert np.abs(m1.U_).sum() < np.abs(m0.U_).sum()
+
+
+class TestAuxLoss:
+    """The zero-extra-pass aux loss (XᵀU/UᵀU from the step) must be the
+    same number as the standalone loss eval — same history, same stopping
+    decisions."""
+
+    def test_aux_loss_matches_loss_core(self, rng):
+        import jax.numpy as jnp
+
+        from pycmf_tpu.solvers.common import (Coupled, SolverConfig,
+                                              make_hyper)
+        from pycmf_tpu.solvers.mu import (_aux_loss, _loss_core,
+                                          make_mu_step)
+        from pycmf_tpu.utils.validation import as_coupled
+
+        X, Y = __import__("tests.conftest", fromlist=["make_problem"]) \
+            .make_problem(rng, n=50, m=30)
+        Xc = as_coupled(X, jnp.float64)
+        Yc = as_coupled(Y, jnp.float64)
+        cfg = SolverConfig(use_pallas=False)
+        hyper = make_hyper(alpha=0.1, l1_ratio=0.3, dtype=jnp.float64)
+        U = jnp.asarray(np.abs(rng.randn(50, 4)))
+        V = jnp.asarray(np.abs(rng.randn(30, 4)))
+        Z = jnp.asarray(np.abs(rng.randn(Y.shape[1], 4)))
+        step = make_mu_step(cfg, with_aux=True)
+        U, V, Z, aux = step(Xc, Yc, U, V, Z, hyper)
+        la = float(_aux_loss(cfg)((Xc, Yc, U, V, Z), aux, hyper))
+        lc = float(_loss_core(cfg)((Xc, Yc, U, V, Z), hyper))
+        assert np.isclose(la, lc, rtol=1e-12)
+
+    def test_fit_histories_match_with_tol_stopping(self, rng):
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=60, m=40)
+        U0 = np.abs(rng.randn(60, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=100, tol=1e-5,
+                  eval_every=3, dtype="float64")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-10)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
+
+    def test_sparse_aux_loss(self, rng):
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=60, m=40, sparse=True)
+        U0 = np.abs(rng.randn(60, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=40, tol=1e-5,
+                  eval_every=2, dtype="float64", sparse_mode="csr")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-10)
