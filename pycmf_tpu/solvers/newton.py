@@ -329,8 +329,12 @@ def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
 
 
 @lru_cache(maxsize=None)
-def make_newton_step(cfg: SolverConfig):
-    """Pure jitted Newton step: update U, then Z, then V (pinned order)."""
+def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
+    """Pure jitted Newton step: update U, then Z, then V (pinned order).
+
+    with_aux: additionally return (XᵀU_new, U_newᵀU_new) from the fused
+    U-pass so loss/tol evals need no pass over X (see _aux_loss; only
+    valid when the fused path is active — run_newton checks)."""
 
     def step(X: Coupled, Y, U, V, Z, hyper: Hyper, rng):
         kU, kZ, kV = jax.random.split(rng, 3)
@@ -389,9 +393,53 @@ def make_newton_step(cfg: SolverConfig):
             V = newton_update_factor(
                 kV, V, terms, links, hyper,
                 non_negative=cfg.V_non_negative, **common)
+        if with_aux:
+            assert numv_x is not None, \
+                "with_aux requires the fused U-pass (see _aux_ok)"
+            return U, V, Z, (numv_x, gram_u)
         return U, V, Z
 
     return step
+
+
+@lru_cache(maxsize=None)
+def _aux_loss(cfg: SolverConfig):
+    """Loss from the fused U-pass accumulators — no pass over X.
+
+    Identical in structure to solvers/mu.py:_aux_loss: the linear X term
+    via the factored identity with numV = XᵀU_new contracted against the
+    post-step V; the (small) Y term evaluated directly."""
+    from ..ops.losses import penalty, reconstruction_term
+
+    def loss_fn(state, aux, hyper: Hyper):
+        X, Y, U, V, Z = state
+        num_vx, gram_u = aux
+        inner = jnp.sum(num_vx * V)
+        x_term = 0.5 * (X.a_sq - 2.0 * inner + jnp.sum(gram_u * gram(V)))
+        loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio) \
+            + penalty(V, hyper.alpha, hyper.l1_ratio)
+        if cfg.has_Y:
+            yt = Y.A_tiled if cfg.use_pallas else None
+            yb = Y.At_bell if cfg.use_pallas else None
+            loss = loss + reconstruction_term(
+                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb)
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _aux_ok(cfg: SolverConfig, X: Coupled, U0) -> bool:
+    """Aux loss needs the fused U-pass (fresh XᵀU_new each step), a linear
+    X link (the identity), and not the small-mixed-precision cancellation
+    regime (mirrors solvers/mu.py:_aux_ok)."""
+    if not fused_newton_u_allowed(cfg, X.A, X.row_sq, U0):
+        return False
+    if X.a_sq is None:
+        return False
+    if X.A.dtype != U0.dtype and X.A.size < (1 << 22):
+        return False
+    return True
 
 
 @lru_cache(maxsize=None)
@@ -417,9 +465,14 @@ def _make_loss(cfg: SolverConfig):
     return jax.jit(_loss_core(cfg))
 
 
+def _aux_zero(U, V, Z):
+    k = U.shape[1]
+    return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
+
+
 @lru_cache(maxsize=None)
-def _make_block(cfg: SolverConfig):
-    step = make_newton_step(cfg)
+def _make_block(cfg: SolverConfig, aux: bool = False):
+    step = make_newton_step(cfg, with_aux=aux)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper: Hyper, rng, n_steps: int):
@@ -430,27 +483,42 @@ def _make_block(cfg: SolverConfig):
         X, Y, U, V, Z = state
         key, off = rng
 
-        def body(i, carry):
-            U, V, Z = carry
-            return step(X, Y, U, V, Z, hyper,
-                        jax.random.fold_in(key, off + i))
+        if aux:
+            def body(i, carry):
+                U, V, Z, _a = carry
+                return step(X, Y, U, V, Z, hyper,
+                            jax.random.fold_in(key, off + i))
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
-        loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
+            U, V, Z, a = jax.lax.fori_loop(
+                0, n_steps, body, (U, V, Z, _aux_zero(U, V, Z)))
+            loss = _aux_loss(cfg)((X, Y, U, V, Z), a, hyper)
+        else:
+            def body(i, carry):
+                U, V, Z = carry
+                return step(X, Y, U, V, Z, hyper,
+                            jax.random.fold_in(key, off + i))
+
+            U, V, Z = jax.lax.fori_loop(0, n_steps, body, (U, V, Z))
+            loss = _make_loss(cfg)((X, Y, U, V, Z), hyper)
         return (X, Y, U, V, Z), loss, (key, off + n_steps)
 
     return block
 
 
 @lru_cache(maxsize=None)
-def _make_device_fit(cfg: SolverConfig):
+def _make_device_fit(cfg: SolverConfig, aux: bool = False):
     from .common import make_device_fit_loop
 
-    step = make_newton_step(cfg)
+    step = make_newton_step(cfg, with_aux=aux)
 
     def step_fn(X, Y, U, V, Z, hyper, key):
         return step(X, Y, U, V, Z, hyper, key)
 
+    if aux:
+        return make_device_fit_loop(step_fn, _loss_core(cfg),
+                                    carry_rng=True,
+                                    aux_loss=_aux_loss(cfg),
+                                    aux_init=_aux_zero)
     return make_device_fit_loop(step_fn, _loss_core(cfg), carry_rng=True)
 
 
@@ -462,8 +530,9 @@ def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
 
     from .common import finish_device_fit
 
+    aux = _aux_ok(cfg, X, U0)
     if loop == "device":
-        fitf = _make_device_fit(cfg)
+        fitf = _make_device_fit(cfg, aux)
         tol_s = jnp.asarray(tol, U0.dtype)
         t0 = _time.perf_counter()
         out = fitf(X, Y, U0, V0, Z0, hyper, rng, tol_s, max_iter,
@@ -473,7 +542,7 @@ def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
         return U, V, Z, n_iter, losses, iters, \
             [_time.perf_counter() - t0]
 
-    block = _make_block(cfg)
+    block = _make_block(cfg, aux)
     loss_fn = _make_loss(cfg)
     state = (X, Y, U0, V0, Z0)
     state, n_iter, losses, iters, times = run_solver_loop(

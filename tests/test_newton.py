@@ -196,3 +196,44 @@ class TestNewtonBehavior:
         m.fit(X, Y)
         assert np.all(np.isfinite(m.U_))
         assert np.all(np.isfinite(m.V_))
+
+
+class TestNewtonAuxLoss:
+    """Zero-extra-pass Newton loss evals (aux from the fused U-pass) must
+    give the same history and stopping decisions as the standalone eval."""
+
+    def test_fit_histories_match_with_tol_stopping(self, rng):
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=60, m=40, binary_y=True)
+        U0 = np.abs(rng.randn(60, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", y_link="sigmoid",
+                  max_iter=30, tol=1e-7, eval_every=2, dtype="float64",
+                  random_state=0, sparse_mode="dense")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9)
+
+    def test_device_loop_aux_matches_host(self, rng):
+        from tests.conftest import make_problem
+
+        from pycmf_tpu import CMF
+
+        X, Y = make_problem(rng, n=60, m=40)
+        U0 = np.abs(rng.randn(60, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", use_pallas=True,
+                  max_iter=12, tol=1e-7, eval_every=5, dtype="float64",
+                  random_state=0)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
