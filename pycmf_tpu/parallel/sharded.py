@@ -137,6 +137,12 @@ class _RowOperands(NamedTuple):
     Xt_tiled: object = None
     row_sq: object = None    # (n_pad,) per-row ‖xᵢ‖² (Newton line search)
     row_sq_t: object = None  # (d, m) per-shard col-block norms of Xᵀ rows
+    row_sq_t_glob: object = None  # (m,) GLOBAL ‖(Xᵀ)ᵢ‖², replicated
+
+
+def _aux_zero_rows(U, V, Z):
+    k = U.shape[1]
+    return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
 
 
 def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
@@ -209,7 +215,8 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     ops = _RowOperands(Xd, Xtd, Yd, Ytd, jnp.asarray(mask, dtype=dtype),
                        X_tiled, Xt_tiled,
                        jnp.asarray(rs, dtype=fdt),
-                       jnp.asarray(rst, dtype=fdt))
+                       jnp.asarray(rst, dtype=fdt),
+                       jnp.asarray(rst.sum(axis=0), dtype=fdt))
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
@@ -306,6 +313,56 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
     return loss
 
 
+def _aux_loss_rows(cfg: SolverConfig):
+    """Loss from the step's already-psummed X-side V terms — no pass over X
+    and no extra collective beyond the scalar reductions.
+
+    Mirrors solvers/mu.py:_aux_loss for the rows layout: a_sq and U's
+    penalty are psummed over shards; the aux pair (ΣXᵀU, ΣUᵀU) is already
+    global; V/Z/Y terms are replicated.
+    """
+
+    def loss_fn(state, aux, hyper: Hyper):
+        ops, _, U, V, Z = state
+        num, S = aux
+        a_sq = jax.lax.psum(jnp.sum(ops.row_sq), AXIS)
+        inner = jnp.sum(num * V)
+        x_term = 0.5 * (a_sq - 2.0 * inner + jnp.sum(S * gram(V)))
+        loss = x_term + jax.lax.psum(
+            penalty(U, hyper.alpha, hyper.l1_ratio), AXIS)
+        loss = loss + penalty(V, hyper.alpha, hyper.l1_ratio)
+        if cfg.has_Y:
+            loss = loss + reconstruction_term(ops.Y, V, Z, cfg.y_link)
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _rows_aux_ok(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
+    """Rows-layout aux loss: MU always qualifies when U and V both update
+    (the psummed V terms are computed regardless); Newton needs the fused
+    U-pass. x_link must be linear (the factored identity)."""
+    from ..ops.links import LINEAR as _LIN
+
+    if not (cfg.update_U and cfg.update_V and cfg.x_link == _LIN):
+        return False
+    if ops.row_sq is None:
+        return False
+    if not is_sparse(ops.X) and ops.X.dtype != U.dtype \
+            and ops.X.size < (1 << 22):
+        return False  # small mixed-precision: identity cancellation
+    return True
+
+
+def _rows_aux_ok_newton(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
+    from ..solvers.newton import fused_newton_u_allowed
+
+    if not _rows_aux_ok(cfg, ops, U):
+        return False
+    return fused_newton_u_allowed(cfg, ops.X, ops.row_sq, U)
+
+
 # ---------------------------------------------------------------------------
 # MU blocks
 # ---------------------------------------------------------------------------
@@ -324,13 +381,18 @@ def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
     return spmm(_local_csr(ops.Xt if transpose else ops.X), B)
 
 
-def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
+def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
+                  with_aux: bool = False):
     """One MU iteration, rows layout. psums: XᵀU and UᵀU (shared-V terms).
 
     Dense X with Pallas allowed takes the fused single-X-pass kernel per
     shard (ops/pallas/mu_fused.py): each chip streams its local X rows once
     and the kernel's numVᵀ/gramU accumulators are exactly the quantities the
     layout psums — the multi-chip fusion is free.
+
+    with_aux: also return the PSUMMED X-side V terms (ΣXᵀU_new, ΣU_newᵀU_new)
+    — already reduced for the V update, they let the fit loop evaluate the
+    loss with no extra pass over X and no extra collective (_aux_loss_rows).
     """
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
@@ -361,17 +423,22 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper):
         else:
             num = matmul(ops.Y.T, V)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+    aux = None
     if cfg.update_V:
         if num_vx is None:
             num_vx = _rows_x_mm(ops, U, cfg, transpose=True)
             gram_u = gram(U)
         num = jax.lax.psum(num_vx, AXIS)             # shared-V all-reduce
         S = jax.lax.psum(gram_u, AXIS)
+        aux = (num, S)                               # X-side, pre-Y
         if cfg.has_Y:
             num = num + (spmm(ops.Y, Z) if is_sparse(ops.Y)
                          else matmul(ops.Y, Z))
             S = S + gram(Z)
         V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+    if with_aux:
+        assert aux is not None, "with_aux requires update_V"
+        return U, V, Z, aux
     return U, V, Z
 
 
@@ -443,10 +510,19 @@ def _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper):
 # ---------------------------------------------------------------------------
 
 
-def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
+def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
+                      with_aux: bool = False):
     """One Newton iteration, rows layout: U local; Z replicated; V's X-side
     (g, H, φ) contributions psummed (BASELINE.json: "all-reduce of shared-V
-    gradient/denominator terms" — here stacked per-row g/H)."""
+    gradient/denominator terms" — here stacked per-row g/H).
+
+    When the fused U-pass runs, its per-shard XᵀU_new / U_newᵀU_new are
+    psummed ONCE and handed to the V update as already-reduced DB/BtB with
+    a replicated global row-norm vector — which removes the per-line-search
+    -trial (m,) φ psums entirely (one (m,k) all-reduce replaces ~9 (m,)
+    ones). with_aux additionally returns the reduced pair for the fit
+    loop's zero-extra-pass loss eval.
+    """
     kU, kZ, kV = jax.random.split(rng, 3)
     common = dict(trials=cfg.line_search_trials,
                   hessian_form=cfg.hessian_form,
@@ -494,15 +570,23 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
         Z = newton_update_factor(
             kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
             non_negative=cfg.Z_non_negative, **common)
+    aux = None
     if cfg.update_V:
         Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
         if numv_x is not None:
-            terms = (Term(Xtl, U, None, ops.row_sq_t[0],
-                          DB=numv_x, BtB=gram_u),)
+            # Reduce the fused U-pass accumulators ONCE; the V update then
+            # sees an already-global X-side term (dist=False) with the
+            # replicated global row norms — no per-φ-trial psums.
+            num_glob = jax.lax.psum(numv_x, AXIS)
+            gram_glob = jax.lax.psum(gram_u, AXIS)
+            aux = (num_glob, gram_glob)
+            terms = (Term(Xtl, U, None, ops.row_sq_t_glob,
+                          DB=num_glob, BtB=gram_glob),)
+            dist = (False,)
         else:
             terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
+            dist = (True,)
         links = (cfg.x_link,)
-        dist = (True,)
         masks = (mask if cfg.x_link != LINEAR else None,)
         if cfg.has_Y:
             terms = terms + ((ops.Y, Z),)
@@ -512,6 +596,10 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng):
         V = newton_update_factor(
             kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
             distributed=dist, masks=masks, axis_name=AXIS, **common)
+    if with_aux:
+        assert aux is not None, \
+            "with_aux requires the fused U-pass and update_V"
+        return U, V, Z, aux
     return U, V, Z
 
 
@@ -563,19 +651,25 @@ def _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper, rng):
 # ---------------------------------------------------------------------------
 
 
-def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
+def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
+                          aux: bool = False):
     from ..solvers.common import device_fit_core
 
     def step_fn(ops, _, U, V, Z, hyper, key=None):
         if solver == "mu":
-            return _mu_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper)
-        return _newton_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper, key)
+            return _mu_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper,
+                                 with_aux=aux)
+        return _newton_rows_iter(ops, U, V, Z, ops.mask, cfg, hyper, key,
+                                 with_aux=aux)
 
     def loss_core(state, hyper):
         ops, _, U, V, Z = state
         return _loss_rows(ops, U, V, Z, ops.mask, cfg, hyper)
 
-    core = device_fit_core(step_fn, loss_core, carry_rng=(solver != "mu"))
+    core = device_fit_core(
+        step_fn, loss_core, carry_rng=(solver != "mu"),
+        aux_loss=_aux_loss_rows(cfg) if aux else None,
+        aux_init=_aux_zero_rows if aux else None)
     in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P(), P())
     out_specs = (P(AXIS, None), P(), P(), P(), P())
 
@@ -642,10 +736,11 @@ def _shard_specs_rows(ops: _RowOperands):
     xtl_spec = None if ops.X_tiled is None else P(AXIS)
     xttl_spec = None if ops.Xt_tiled is None else P(AXIS)
     return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS),
-                        xtl_spec, xttl_spec, P(AXIS), P(AXIS))
+                        xtl_spec, xttl_spec, P(AXIS), P(AXIS), P())
 
 
-def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
+def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
+                     aux: bool = False):
     in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P())
     out_specs = ((P(AXIS, None), P(), P()), P(), P())
 
@@ -656,14 +751,22 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
         key, off = rng
 
         def one(i, carry):
-            U, V, Z = carry
+            U, V, Z, _a = carry
+            k = jax.random.fold_in(key, off + i)
             if solver == "mu":
-                return _mu_rows_iter(ops, U, V, Z, mask, cfg, hyper)
-            return _newton_rows_iter(ops, U, V, Z, mask, cfg, hyper,
-                                     jax.random.fold_in(key, off + i))
+                out = _mu_rows_iter(ops, U, V, Z, mask, cfg, hyper,
+                                    with_aux=aux)
+            else:
+                out = _newton_rows_iter(ops, U, V, Z, mask, cfg, hyper, k,
+                                        with_aux=aux)
+            return out if aux else out + (_a,)
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_rows(ops, U, V, Z, mask, cfg, hyper)
+        U, V, Z, a = jax.lax.fori_loop(
+            0, n_steps, one, (U, V, Z, _aux_zero_rows(U, V, Z)))
+        if aux:
+            loss = _aux_loss_rows(cfg)((ops, None, U, V, Z), a, hyper)
+        else:
+            loss = _loss_rows(ops, U, V, Z, mask, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -768,9 +871,11 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
+        aux = (_rows_aux_ok(cfg, ops, U_pad) if solver == "mu"
+               else _rows_aux_ok_newton(cfg, ops, U_pad))
         if loop == "device":
             fitf = _make_rows_device_fit(cfg, mesh, solver,
-                                         _shard_specs_rows(ops))
+                                         _shard_specs_rows(ops), aux)
             t0 = _time.perf_counter()
             out = fitf(ops, U_pad, V, Z, hyper, rng,
                        jnp.asarray(tol, dtype), max_iter, eval_every)
@@ -779,7 +884,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
             return (U[:n], V, Z, n_iter, losses, iters,
                     [_time.perf_counter() - t0])
         block, loss_fn = _make_rows_block(cfg, mesh, solver,
-                                          _shard_specs_rows(ops))
+                                          _shard_specs_rows(ops), aux)
         state = (ops, U_pad, V, Z)
         state, n_iter, losses, iters, times = run_solver_loop(
             block, state, hyper, (rng, jnp.zeros((), jnp.int32)),

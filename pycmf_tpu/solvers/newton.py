@@ -263,7 +263,8 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
                     else H_rows_local + H_rw_t
         ctxs.append(ctx)
 
-    if axis_name is not None:
+    any_dist = axis_name is not None and any(distributed)
+    if any_dist:
         G_dist = jax.lax.psum(G_dist, axis_name)
         H_shared_dist = jax.lax.psum(H_shared_dist, axis_name)
         if H_rows_dist is not None:
@@ -293,7 +294,7 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
                 acc_dist = acc_dist + term
             else:
                 out = out + term
-        if axis_name is not None:
+        if any_dist:
             acc_dist = jax.lax.psum(acc_dist, axis_name)
         return out + acc_dist
 
