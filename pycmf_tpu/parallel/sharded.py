@@ -126,6 +126,49 @@ def _local_tiled(stk):
                     stk.block, stk.col_offset)
 
 
+def _stack_bell_blocks(blocks, dtype, max_bytes):
+    """Per-shard BlockEll layouts stacked on a leading device dim.
+
+    Returns None when any shard's sparsity is too scattered for the block
+    layout to pay off (bell_from_scipy refuses) — the caller falls back to
+    the segment-sum CSR path. Shards are padded to a common block count NB
+    with zero blocks at (row-block nrb−1, col-block 0): brows stay sorted,
+    so the kernel's row-change accumulator logic is untouched, and zero
+    blocks are exact no-ops.
+    """
+    from ..ops.pallas.bell import BlockEll, bell_from_scipy
+
+    bells = []
+    for b in blocks:
+        bl = bell_from_scipy(b, dtype=dtype, max_bytes=max_bytes)
+        if bl is None:
+            return None
+        bells.append(bl)
+    nb = max(b.blocks.shape[0] for b in bells)
+    R = bells[0].blocks.shape[1]
+    C = bells[0].blocks.shape[2]
+    nrb = -(-bells[0].shape[0] // R)
+    blk, br, bc = [], [], []
+    for b in bells:
+        pad = nb - b.blocks.shape[0]
+        blk.append(np.pad(np.asarray(jax.device_get(b.blocks)),
+                          ((0, pad), (0, 0), (0, 0))))
+        br.append(np.pad(np.asarray(jax.device_get(b.brows)), (0, pad),
+                         constant_values=nrb - 1))
+        bc.append(np.pad(np.asarray(jax.device_get(b.bcols)), (0, pad)))
+    fill = float(np.mean([b.fill for b in bells]))
+    return BlockEll(jnp.asarray(np.stack(blk), dtype=dtype),
+                    jnp.asarray(np.stack(br)), jnp.asarray(np.stack(bc)),
+                    bells[0].shape, fill)
+
+
+def _local_bell(stk):
+    from ..ops.pallas.bell import BlockEll
+
+    return BlockEll(stk.blocks[0], stk.brows[0], stk.bcols[0], stk.shape,
+                    stk.fill)
+
+
 class _RowOperands(NamedTuple):
     """Device operands for the rows layout (leading dims sharded over AXIS)."""
     X: object            # dense (n_pad, m) | stacked CsrMatrix (d, ...)
@@ -138,6 +181,8 @@ class _RowOperands(NamedTuple):
     row_sq: object = None    # (n_pad,) per-row ‖xᵢ‖² (Newton line search)
     row_sq_t: object = None  # (d, m) per-shard col-block norms of Xᵀ rows
     row_sq_t_glob: object = None  # (m,) GLOBAL ‖(Xᵀ)ᵢ‖², replicated
+    X_bell: object = None    # stacked per-shard BlockEll of X (MXU SpMM)
+    Xt_bell: object = None   # stacked per-shard BlockEll of local Xᵀ
 
 
 def _aux_zero_rows(U, V, Z):
@@ -154,7 +199,7 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     n_pad = d * n_loc
     mask = np.zeros((n_pad,), dtype=np.float64)
     mask[:n] = 1.0
-    X_tiled = Xt_tiled = None
+    X_tiled = Xt_tiled = X_bell = Xt_bell = None
 
     if sp.issparse(X):
         X = sp.csr_matrix(X)
@@ -168,17 +213,35 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
             tblocks.append(blk.T.tocsr())
         Xd = _stack_csr_blocks(blocks, dtype)
         Xtd = _stack_csr_blocks(tblocks, dtype)
-        from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
+        if use_pallas:
+            from ..ops.pallas.policy import kernel_enabled
 
-        kernels_usable = (jax.default_backend() != "tpu"
-                          or tpu_spmm_kernel_enabled())
-        if use_pallas and kernels_usable:
-            # single-chunk tiled layouts (fall back to segment ops when the
-            # dense operand would overflow VMEM; chunking TODO for huge m)
-            if b_fits_vmem(m):
-                X_tiled = _stack_tiled_blocks(blocks, dtype)
-            if b_fits_vmem(n_loc):
-                Xt_tiled = _stack_tiled_blocks(tblocks, dtype)
+            if kernel_enabled("bell_spmm"):
+                # Per-shard MXU block-sparse layouts (ops/pallas/bell.py):
+                # the production path for shards too big to densify whose
+                # sparsity is block-structured. Both the forward and the
+                # local-transpose layouts must convert; otherwise fall
+                # through to the options below.
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                X_bell = _stack_bell_blocks(blocks, dtype,
+                                            DENSIFY_THRESHOLD)
+                Xt_bell = (None if X_bell is None else
+                           _stack_bell_blocks(tblocks, dtype,
+                                              DENSIFY_THRESHOLD))
+                if Xt_bell is None:
+                    X_bell = Xt_bell = None
+            from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
+
+            kernels_usable = (jax.default_backend() != "tpu"
+                              or tpu_spmm_kernel_enabled())
+            if X_bell is None and kernels_usable:
+                # single-chunk tiled layouts (fall back to segment ops when
+                # the dense operand would overflow VMEM)
+                if b_fits_vmem(m):
+                    X_tiled = _stack_tiled_blocks(blocks, dtype)
+                if b_fits_vmem(n_loc):
+                    Xt_tiled = _stack_tiled_blocks(tblocks, dtype)
     else:
         Xh = np.zeros((n_pad, m), dtype=np.float64)
         Xh[:n] = np.asarray(X)
@@ -216,7 +279,8 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
                        X_tiled, Xt_tiled,
                        jnp.asarray(rs, dtype=fdt),
                        jnp.asarray(rst, dtype=fdt),
-                       jnp.asarray(rst.sum(axis=0), dtype=fdt))
+                       jnp.asarray(rst.sum(axis=0), dtype=fdt),
+                       X_bell, Xt_bell)
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
@@ -286,7 +350,13 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
         if is_sparse(ops.X):
             Xl = _local_csr(ops.X)
             a_sq = Xl.sq_norm
-            if cfg.use_pallas and ops.X_tiled is not None:
+            if cfg.use_pallas and ops.Xt_bell is not None:
+                # ⟨X_loc, U_loc Vᵀ⟩ = Σ((X_locᵀ U_loc) ⊙ V) — one MXU
+                # block-sparse pass over the local transpose layout.
+                from ..ops.pallas.bell import bell_inner
+
+                inner = bell_inner(_local_bell(ops.Xt_bell), U, V)
+            elif cfg.use_pallas and ops.X_tiled is not None:
                 from ..ops.pallas.spmm import sddmm_rowdots_tiled
 
                 inner = jnp.sum(sddmm_rowdots_tiled(
@@ -373,11 +443,17 @@ def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
     if not is_sparse(ops.X):
         Xl = ops.X
         return matmul(Xl.T if transpose else Xl, B)
-    tiled = ops.Xt_tiled if transpose else ops.X_tiled
-    if cfg.use_pallas and tiled is not None:
-        from ..ops.pallas.spmm import spmm_tiled
+    if cfg.use_pallas:
+        bell = ops.Xt_bell if transpose else ops.X_bell
+        if bell is not None:
+            from ..ops.pallas.bell import bell_spmm
 
-        return spmm_tiled(_local_tiled(tiled), B)
+            return bell_spmm(_local_bell(bell), B)
+        tiled = ops.Xt_tiled if transpose else ops.X_tiled
+        if tiled is not None:
+            from ..ops.pallas.spmm import spmm_tiled
+
+            return spmm_tiled(_local_tiled(tiled), B)
     return spmm(_local_csr(ops.Xt if transpose else ops.X), B)
 
 
@@ -532,10 +608,18 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
 
     sparse_x = is_sparse(ops.X)
     Xl = _local_csr(ops.X) if sparse_x else ops.X
-    X_tl = (None if not (cfg.use_pallas and ops.X_tiled is not None)
-            else _local_tiled(ops.X_tiled))
-    Xt_tl = (None if not (cfg.use_pallas and ops.Xt_tiled is not None)
-             else _local_tiled(ops.Xt_tiled))
+    # Term.tiled accepts either a TiledCsr or a BlockEll; prefer the MXU
+    # block-sparse layout (newton_update_factor dispatches on the type).
+    X_tl = Xt_tl = None
+    if cfg.use_pallas:
+        if ops.X_bell is not None:
+            X_tl = _local_bell(ops.X_bell)
+        elif ops.X_tiled is not None:
+            X_tl = _local_tiled(ops.X_tiled)
+        if ops.Xt_bell is not None:
+            Xt_tl = _local_bell(ops.Xt_bell)
+        elif ops.Xt_tiled is not None:
+            Xt_tl = _local_tiled(ops.Xt_tiled)
 
     fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
     numv_x = gram_u = None
@@ -735,8 +819,11 @@ def _shard_specs_rows(ops: _RowOperands):
     yt_spec = None if ops.Yt is None else P()
     xtl_spec = None if ops.X_tiled is None else P(AXIS)
     xttl_spec = None if ops.Xt_tiled is None else P(AXIS)
+    xb_spec = None if ops.X_bell is None else P(AXIS)
+    xtb_spec = None if ops.Xt_bell is None else P(AXIS)
     return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS),
-                        xtl_spec, xttl_spec, P(AXIS), P(AXIS), P())
+                        xtl_spec, xttl_spec, P(AXIS), P(AXIS), P(),
+                        xb_spec, xtb_spec)
 
 
 def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
@@ -844,7 +931,9 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
     fits the densify threshold — sharding is the TPU answer to "too big to
     densify" (docs/PERFORMANCE.md sparse decision tree), and the dense
     local path runs the fused single-X-pass kernels per shard. 'csr' keeps
-    the per-shard CSR + segment-sum path.
+    per-shard sparse layouts: BlockEll MXU block-sparse kernels when the
+    shard's sparsity is block-structured (use_pallas), segment-sum CSR
+    otherwise.
     """
     import time as _time
 

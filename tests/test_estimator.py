@@ -226,3 +226,25 @@ class TestAnalysis:
     def test_unfitted_raises(self):
         with pytest.raises(RuntimeError):
             CMF(n_components=3).print_topic_terms(vocabulary=["a"])
+
+
+class TestPycmfAlias:
+    """The reference package name works as a drop-in alias."""
+
+    def test_reference_import_line_works(self, rng):
+        from pycmf import CMF as AliasCMF
+
+        from pycmf_tpu import CMF as RealCMF
+
+        assert AliasCMF is RealCMF
+        X = np.abs(rng.randn(20, 12))
+        Y = np.abs(rng.randn(12, 5))
+        m = AliasCMF(n_components=3, max_iter=5)
+        U, V, Z = m.fit_transform(X, Y)
+        assert U.shape == (20, 3) and V.shape == (12, 3)
+
+    def test_analysis_helpers_exported(self):
+        import pycmf
+
+        assert callable(pycmf.top_terms_per_component)
+        assert callable(pycmf.topic_terms_string)

@@ -292,6 +292,70 @@ class TestShardingInfra:
             CMF(n_components=4, n_shards=999, max_iter=2).fit(X, Y)
 
 
+class TestShardedBell:
+    """Per-shard BlockEll layouts (the MXU path for shards too big to
+    densify): stacked on a leading device dim, padded to a common block
+    count with zero blocks, dispatched inside shard_map."""
+
+    def test_prepare_rows_builds_stacked_bell(self, rng):
+        from pycmf_tpu.parallel.sharded import _prepare_rows
+
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        ops, _, _ = _prepare_rows(X, Y, U0, 8, jnp.float64,
+                                  use_pallas=True)
+        assert ops.X_bell is not None and ops.Xt_bell is not None
+        d = ops.X_bell.blocks.shape[0]
+        assert d == 8
+        # brows stay sorted per shard (zero-padding appends at the last
+        # row-block), so the kernel's row-change logic is intact
+        br = np.asarray(ops.X_bell.brows)
+        assert all(np.all(np.diff(br[i]) >= 0) for i in range(d))
+
+    def test_mu_bell_matches_segment_sum(self, rng):
+        """m=300 spans 3 column blocks and shard nnz counts differ, so the
+        stacked layout's NB padding is exercised; the bell sharded fit must
+        match the segment-sum sharded fit."""
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                  dtype="float64", n_shards=8, sparse_mode="csr")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-10)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-9)
+
+    def test_newton_bell_matches_segment_sum(self, rng):
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=5, tol=0.0,
+                  dtype="float64", n_shards=8, sparse_mode="csr")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+
+    def test_bell_device_loop_matches_host(self, rng):
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=1e-5,
+                  dtype="float64", n_shards=8, sparse_mode="csr",
+                  use_pallas=True)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
+
 class TestShardedAutoDensify:
     def test_sparse_auto_densifies_per_shard_and_matches_csr(self, rng):
         """sparse_mode='auto' densifies each shard's local block when it
