@@ -48,6 +48,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pycmf_tpu.utils.cache import enable_persistent_cache
+
+    # Compiles dominate wall time on the remote-compile TPU link (minutes
+    # in the queue even for small graphs); timed regions are warm either
+    # way, so the cache only removes queue noise from the run.
+    enable_persistent_cache()
+
     from baselines import numpy_cmf
     from pycmf_tpu.solvers.common import SolverConfig, make_hyper
     from pycmf_tpu.solvers.mu import run_mu

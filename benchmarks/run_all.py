@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from pycmf_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def timed_fit(model, X, Y, U0, V0, Z0):
     # warm-up with IDENTICAL static shapes (the device-fit jit is keyed on

@@ -1,0 +1,91 @@
+"""Decompose the MU device-fit iteration cost at 20NG scale (real chip).
+
+Measures, each as one jitted fori_loop dispatch (device_get of a small
+output forces completion — block_until_ready does not block on the
+remote axon platform):
+
+  a) fused kernel only            — the X-pass roofline
+  b) full MU step (U, Z, V)       — adds the small-factor updates
+  c) run_mu device fit, tol=0     — adds eval blocks + while_loop + readback
+
+Gap (b)−(a) = non-kernel step work; (c)−(b) = harness overhead.
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pycmf_tpu.ops.pallas.mu_fused import fused_mu_u_pass  # noqa: E402
+from pycmf_tpu.solvers.common import (Coupled, SolverConfig,  # noqa: E402
+                                      make_hyper)
+from pycmf_tpu.solvers.mu import make_mu_step, run_mu  # noqa: E402
+from pycmf_tpu.utils.validation import as_coupled  # noqa: E402
+
+N, M, R, K = 30000, 11314, 20, 20
+ITERS = 90
+
+
+def main():
+    rng = np.random.RandomState(0)
+    Xh = np.abs(rng.randn(N, M))
+    Yh = np.abs(rng.randn(M, R))
+    X = as_coupled(Xh, jnp.bfloat16)
+    Y = as_coupled(Yh, jnp.bfloat16)
+    U = jnp.asarray(np.abs(rng.randn(N, K)), jnp.float32)
+    V = jnp.asarray(np.abs(rng.randn(M, K)), jnp.float32)
+    Z = jnp.asarray(np.abs(rng.randn(R, K)), jnp.float32)
+    hyper = make_hyper(dtype=jnp.float32)
+    cfg = SolverConfig(use_pallas=True)
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    def timeit(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + force
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        print(f"{name}: {1e3 * np.median(ts) / ITERS:.2f} ms/iter "
+              f"(total {np.median(ts):.3f}s)", flush=True)
+
+    VtV = V.T @ V
+
+    @jax.jit
+    def kernel_only(X, U, V, VtV):
+        def body(_, c):
+            U, g = c
+            Un, _, gu = fused_mu_u_pass(X, U, V, VtV, 0.0, 0.0, 1e-9)
+            return Un, g + gu
+
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (U, jnp.zeros((K, K), jnp.float32)))
+
+    timeit("a) fused kernel only", kernel_only, X.A, U, V, VtV)
+
+    step = make_mu_step(cfg)
+
+    @jax.jit
+    def full_step(X, Y, U, V, Z):
+        def body(_, fac):
+            return step(X, Y, *fac, hyper)
+
+        return jax.lax.fori_loop(0, ITERS, body, (U, V, Z))
+
+    timeit("b) full MU step", full_step, X, Y, U, V, Z)
+
+    def device_fit():
+        return run_mu(X, Y, U, V, Z, cfg, hyper, max_iter=ITERS, tol=0.0,
+                      eval_every=10, loop="device")
+
+    timeit("c) device fit (tol=0)", device_fit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Persistent XLA compilation cache helper.
+
+On the remote-compile TPU link used here, even a trivial kernel can sit in
+the compile queue for minutes (measured: 76 s for a one-matmul jit, 0.3 s
+on the second process with the cache enabled). The persistent cache turns
+every repeated (harness, test, bench) run's compiles into disk hits, on
+both the TPU and CPU backends.
+
+Opt-in by harnesses — the library never mutates global JAX config on
+import (sklearn-style libraries must not). ``PYCMF_TPU_CACHE_DIR``
+overrides the location; ``PYCMF_TPU_CACHE=0`` disables.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache. Returns the dir used,
+    or None when disabled/unavailable."""
+    if os.environ.get("PYCMF_TPU_CACHE", "1").strip().lower() in (
+            "0", "false", ""):
+        return None
+    import jax
+
+    path = (path or os.environ.get("PYCMF_TPU_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache",
+                            "pycmf_tpu", "xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache every compile: the remote queue makes even tiny compiles
+        # expensive, and CPU-side shard_map test compiles add up too.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — cache is best-effort, never fatal
+        return None
+    return path
