@@ -15,12 +15,14 @@ i.e. the whole X-dependent part of the iteration at ~half the HBM traffic
 accumulators, bit-identical in structure to the unfused U→Z→V order.
 
 Performance notes (round 2 — this is why the kernel now beats the two-pass):
-- NO per-call jnp.pad of X. Round 1 padded X (and U) to a tile multiple on
-  every iteration, which re-materialized the whole data matrix in HBM — a
-  full extra read+write pass that made the "one-pass" kernel ~1.5× MORE
-  traffic than the two-pass it replaced. The wrapper now picks a row tile
-  that divides n exactly whenever one exists (preferring large tiles to
-  amortize grid-step overhead) and only pads in the rare fallback case.
+- NO per-call jnp.pad of X, EVER. Round 1 padded X (and U) to a tile
+  multiple on every iteration, which re-materialized the whole data matrix
+  in HBM — a full extra read+write pass that made the "one-pass" kernel
+  ~1.5× MORE traffic than the two-pass it replaced. The wrapper now runs a
+  ceil grid over the true n: out-of-bounds rows of the partial edge tile
+  read GARBAGE (measured on hardware — not zeros), so the edge step masks
+  them out of the accumulators in-kernel; per-row results are unaffected
+  and out-of-bounds output rows are dropped by the partial write.
 - V is passed ALREADY transposed and cast to X's dtype ((k, m), bf16 for
   the bf16 data path); the f32 V never enters VMEM and nothing is cast
   per grid step. The U-denominator uses the k×k VᵀV in f32.
@@ -44,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scal_ref, x_ref, u_ref, vtx_ref, vtv_ref,
+def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
             unew_ref, numvt_ref, gramu_ref,
             numvt_acc, gramu_acc):
     i = pl.program_id(0)
@@ -70,15 +72,30 @@ def _kernel(scal_ref, x_ref, u_ref, vtx_ref, vtv_ref,
         numvt_acc[:] = jnp.zeros_like(numvt_acc)
         gramu_acc[:] = jnp.zeros_like(gramu_acc)
 
-    unew_c = unew.astype(x.dtype)
-    # numVᵀ += U_newᵀ X  → contract the row-tile dim
-    numvt_acc[:] += jax.lax.dot_general(
-        unew_c, x, (((0,), (0,)), ((), ())), preferred_element_type=acc)
-    gramu_acc[:] += jax.lax.dot_general(
-        unew, unew, (((0,), (0,)), ((), ())), preferred_element_type=acc)
+    def accumulate(unew_f, x_t):
+        # numVᵀ += U_newᵀ X  → contract the row-tile dim
+        numvt_acc[:] += jax.lax.dot_general(
+            unew_f.astype(x.dtype), x_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc)
+        gramu_acc[:] += jax.lax.dot_general(
+            unew_f, unew_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc)
+
+    @pl.when(i < n_prog - 1)
+    def _acc_full():
+        accumulate(unew, x)
 
     @pl.when(i == n_prog - 1)
-    def _flush():
+    def _acc_edge():
+        # Non-divisible n: the last tile's out-of-bounds rows read GARBAGE
+        # (measured on hardware — not zeros), so mask them out of the
+        # accumulators. Valid rows' per-row results are unaffected and
+        # out-of-bounds output rows are dropped by the partial write.
+        rows = i * x.shape[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], 1), 0)
+        valid = rows < nv_ref[0, 0]
+        accumulate(jnp.where(valid, unew, 0),
+                   jnp.where(valid, x, jnp.zeros_like(x)))
         numvt_ref[:] = numvt_acc[:]
         gramu_ref[:] = gramu_acc[:]
 
@@ -97,15 +114,19 @@ _TILE_BUDGET_BYTES = 16_000_000
 
 def _pick_row_tile(n: int, m: int, itemsize: int) -> int:
     """Largest row tile ≤ budget that divides n, multiple of 16 (covers the
-    bf16 sublane granularity; f32 needs only 8). Falls back to the budget
-    tile (with padding) when n has no suitable divisor."""
+    bf16 sublane granularity; f32 needs only 8). When n has no suitable
+    divisor, returns the budget tile — the kernels handle the partial edge
+    tile in-kernel (masked accumulation), so no padding pass is ever
+    needed."""
     lanes = -(-m // 128) * 128           # VMEM pads the lane dim to 128
     max_rows = max(16, _TILE_BUDGET_BYTES // (lanes * itemsize))
     best = 0
     for r in range(16, min(1024, max_rows) + 1, 16):
         if n % r == 0:
             best = r
-    return best  # 0 → no divisor; caller pads
+    if best == 0:
+        best = max(16, min(512, max_rows) // 16 * 16)
+    return best
 
 
 def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
@@ -119,24 +140,13 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
     n, m = X.shape
     k = U.shape[1]
     fdtype = U.dtype
-    pad = 0
     if row_tile is None:
         row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
-        if row_tile == 0:
-            # No divisor: pad once (an extra partial pass — rare; real fits
-            # should pre-pad n, see solvers/mu.py fused path).
-            lanes = -(-m // 128) * 128
-            row_tile = max(
-                16, min(512, _TILE_BUDGET_BYTES
-                        // (lanes * X.dtype.itemsize) // 16 * 16))
     nb = -(-n // row_tile)
-    pad = nb * row_tile - n
-    if pad:
-        X = jnp.pad(X, ((0, pad), (0, 0)))
-        U = jnp.pad(U, ((0, pad), (0, 0)))
     Vtx = V.T.astype(X.dtype)           # (k, m), cast ONCE per call
     scal = jnp.stack([jnp.asarray(l1, fdtype), jnp.asarray(l2, fdtype),
                       jnp.asarray(eps, fdtype)]).reshape(1, 3)
+    nv = jnp.asarray(n, jnp.int32).reshape(1, 1)
     acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
 
     unew, numvt, gramu = pl.pallas_call(
@@ -144,6 +154,7 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((row_tile, m), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, k), lambda i: (i, 0),
@@ -158,7 +169,7 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
             pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb * row_tile, k), fdtype),
+            jax.ShapeDtypeStruct((n, k), fdtype),
             jax.ShapeDtypeStruct((k, m), acc_dt),
             jax.ShapeDtypeStruct((k, k), acc_dt),
         ],
@@ -176,6 +187,5 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(scal, X, U, Vtx, VtV)
-    return unew[:n] if pad else unew, numvt.T.astype(fdtype), \
-        gramu.astype(fdtype)
+    )(scal, nv, X, U, Vtx, VtV)
+    return unew, numvt.T.astype(fdtype), gramu.astype(fdtype)

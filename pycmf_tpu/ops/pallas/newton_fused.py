@@ -39,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .mu_fused import _TILE_BUDGET_BYTES, _interp, _pick_row_tile
 
 
-def _kernel(scal_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref, rsq_ref,
-            unew_ref, numvt_ref, gramu_ref, numvt_acc, gramu_acc,
+def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
+            rsq_ref, unew_ref, numvt_ref, gramu_ref, numvt_acc, gramu_acc,
             *, trials: int, non_negative: bool):
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -91,14 +91,27 @@ def _kernel(scal_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref, rsq_ref,
         numvt_acc[:] = jnp.zeros_like(numvt_acc)
         gramu_acc[:] = jnp.zeros_like(gramu_acc)
 
-    unew_c = unew.astype(x.dtype)
-    numvt_acc[:] += jax.lax.dot_general(
-        unew_c, x, (((0,), (0,)), ((), ())), preferred_element_type=acc)
-    gramu_acc[:] += jax.lax.dot_general(
-        unew, unew, (((0,), (0,)), ((), ())), preferred_element_type=acc)
+    def accumulate(unew_f, x_t):
+        numvt_acc[:] += jax.lax.dot_general(
+            unew_f.astype(x.dtype), x_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc)
+        gramu_acc[:] += jax.lax.dot_general(
+            unew_f, unew_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc)
+
+    @pl.when(i < n_prog - 1)
+    def _acc_full():
+        accumulate(unew, x)
 
     @pl.when(i == n_prog - 1)
-    def _flush():
+    def _acc_edge():
+        # Mask the partial edge tile's garbage rows out of the accumulators
+        # (same hardware behavior as mu_fused.py: OOB reads are not zeros).
+        rows = i * x.shape[0] + jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], 1), 0)
+        valid = rows < nv_ref[0, 0]
+        accumulate(jnp.where(valid, unew, 0),
+                   jnp.where(valid, x, jnp.zeros_like(x)))
         numvt_ref[:] = numvt_acc[:]
         gramu_ref[:] = gramu_acc[:]
 
@@ -119,23 +132,14 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
     fdtype = U.dtype
     if row_tile is None:
         row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
-        if row_tile == 0:
-            lanes = -(-m // 128) * 128
-            row_tile = max(
-                16, min(512, _TILE_BUDGET_BYTES
-                        // (lanes * X.dtype.itemsize) // 16 * 16))
     nb = -(-n // row_tile)
-    pad = nb * row_tile - n
-    if pad:
-        X = jnp.pad(X, ((0, pad), (0, 0)))
-        U = jnp.pad(U, ((0, pad), (0, 0)))
-        row_sq = jnp.pad(row_sq, (0, pad))
     Vtx = V.T.astype(X.dtype)
     # (n, 1) column layout: a (row_tile, 1) block satisfies the TPU tiling
     # rule (sublane dim divisible by 8; lane dim equal to the array's).
-    rsq = row_sq.astype(fdtype).reshape(nb * row_tile, 1)
+    rsq = row_sq.astype(fdtype).reshape(n, 1)
     scal = jnp.stack([jnp.asarray(l1, fdtype),
                       jnp.asarray(l2, fdtype)]).reshape(1, 2)
+    nv = jnp.asarray(n, jnp.int32).reshape(1, 1)
     acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
 
     unew, numvt, gramu = pl.pallas_call(
@@ -143,6 +147,7 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((row_tile, m), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, k), lambda i: (i, 0),
@@ -160,7 +165,7 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
             pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb * row_tile, k), fdtype),
+            jax.ShapeDtypeStruct((n, k), fdtype),
             jax.ShapeDtypeStruct((k, m), acc_dt),
             jax.ShapeDtypeStruct((k, k), acc_dt),
         ],
@@ -175,6 +180,5 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interp(),
-    )(scal, X, U, Vtx, BtB, Hinv, rsq)
-    return unew[:n] if pad else unew, numvt.T.astype(fdtype), \
-        gramu.astype(fdtype)
+    )(scal, nv, X, U, Vtx, BtB, Hinv, rsq)
+    return unew, numvt.T.astype(fdtype), gramu.astype(fdtype)

@@ -148,6 +148,47 @@ class TestFusedMuPass:
                  random_state=0, dtype="float64").fit(X)
         assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
 
+    @pytest.mark.parametrize("n", [97, 33])
+    def test_partial_edge_tile_masked(self, rng, n):
+        """n not a multiple of the row tile: the partial edge tile's
+        out-of-bounds rows must not leak into the accumulators (on
+        hardware they read garbage, not zeros — masked in-kernel)."""
+        from pycmf_tpu.ops.pallas.mu_fused import fused_mu_u_pass
+
+        m, k = 40, 4
+        X = jnp.asarray(np.abs(rng.randn(n, m)))
+        U = jnp.asarray(np.abs(rng.randn(n, k)))
+        V = jnp.asarray(np.abs(rng.randn(m, k)))
+        VtV = matmul(V.T, V)
+        Un, numV, gramU = fused_mu_u_pass(X, U, V, VtV, 0.1, 0.2, 1e-10,
+                                          row_tile=32)
+        Un_want = U * matmul(X, V) / (matmul(U, VtV) + 0.1 + 0.2 * U
+                                      + 1e-10)
+        assert Un.shape == (n, k)
+        assert np.allclose(Un, Un_want, rtol=1e-10)
+        assert np.allclose(numV, matmul(X.T, Un_want), rtol=1e-9)
+        assert np.allclose(gramU, matmul(Un_want.T, Un_want), rtol=1e-10)
+
+    def test_partial_edge_tile_newton(self, rng):
+        from pycmf_tpu.ops.pallas.newton_fused import \
+            fused_newton_linear_u_pass
+
+        n, m, k = 97, 40, 4
+        X = jnp.asarray(np.abs(rng.randn(n, m)))
+        U = jnp.asarray(np.abs(rng.randn(n, k)))
+        V = jnp.asarray(np.abs(rng.randn(m, k)))
+        BtB = matmul(V.T, V)
+        H = BtB + 0.21 * jnp.eye(k, dtype=BtB.dtype)
+        Hinv = jnp.linalg.inv(H)
+        rsq = jnp.sum(X * X, axis=1)
+        Un, numV, gramU = fused_newton_linear_u_pass(
+            X, U, V, BtB, Hinv, rsq, 0.0, 0.01, trials=4,
+            non_negative=True, row_tile=32)
+        assert Un.shape == (n, k)
+        assert np.all(np.isfinite(np.asarray(Un)))
+        assert np.allclose(numV, matmul(X.T, Un), rtol=1e-9)
+        assert np.allclose(gramU, matmul(Un.T, Un), rtol=1e-10)
+
 
 class TestSolverIntegration:
     def test_mu_with_pallas_matches(self, rng):
