@@ -16,6 +16,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pycmf_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from pycmf_tpu.ops.pallas.newton_fused import (  # noqa: E402
     fused_newton_linear_u_pass)
 from pycmf_tpu.solvers.common import SolverConfig, make_hyper  # noqa: E402
@@ -56,20 +60,33 @@ def main():
     H = BtB + (hyper.alpha * (1 - 0.0) + hyper.hessian_pertubation) * eye
     Hinv = jnp.linalg.inv(H)
 
-    @jax.jit
-    def kernel_only(X, U, V, BtB, Hinv, rsq):
-        def body(_, c):
-            U, g = c
-            Un, _, gu = fused_newton_linear_u_pass(
-                X, U, V, BtB, Hinv, rsq, 0.0, 0.0, trials=8,
-                non_negative=True)
-            return Un, g + gu
+    # sweep modes: "rt240 rt400 ..." row tiles, "tr0 tr4 tr8" trial counts
+    sweep = sys.argv[1:]
+    variants = [("default", None, 8)]
+    if sweep:
+        variants = []
+        for s in sweep:
+            if s.startswith("rt"):
+                variants.append((s, int(s[2:]), 8))
+            elif s.startswith("tr"):
+                variants.append((s, None, int(s[2:])))
+    for name, rt, tr in variants:
+        @jax.jit
+        def kernel_only(X, U, V, BtB, Hinv, rsq, rt=rt, tr=tr):
+            def body(_, c):
+                U, g = c
+                Un, _, gu = fused_newton_linear_u_pass(
+                    X, U, V, BtB, Hinv, rsq, 0.0, 0.0, trials=tr,
+                    non_negative=True, row_tile=rt)
+                return Un, g + gu
 
-        return jax.lax.fori_loop(0, ITERS, body,
-                                 (U, jnp.zeros((K, K), jnp.float32)))
+            return jax.lax.fori_loop(0, ITERS, body,
+                                     (U, jnp.zeros((K, K), jnp.float32)))
 
-    timeit("a) fused Newton U-pass only", kernel_only,
-           X.A, U, V, BtB, Hinv, X.row_sq)
+        timeit(f"a) fused Newton U-pass only ({name})", kernel_only,
+               X.A, U, V, BtB, Hinv, X.row_sq)
+    if sweep:
+        return
 
     step = make_newton_step(cfg)
     key = jax.random.PRNGKey(0)

@@ -185,6 +185,18 @@ class _RowOperands(NamedTuple):
     Xt_bell: object = None   # stacked per-shard BlockEll of local Xᵀ
 
 
+class _ColOperands(NamedTuple):
+    """Device operands for the cols layout (the shared dim m sharded)."""
+    X: object            # dense (n, m_loc) local | stacked CsrMatrix (d, ...)
+    Xt: object           # None (dense) | stacked CsrMatrix of local (m_loc,n)
+    Y: object            # dense (m_loc, r) local rows | None
+    mask: jnp.ndarray    # (m_pad,) 1.0 on real shared-dim entries
+    X_bell: object = None    # stacked per-shard BlockEll of local X cols
+    Xt_bell: object = None   # stacked per-shard BlockEll of local Xᵀ
+    row_sq: object = None    # (n,) PARTIAL ‖xᵢ‖² over local cols (psummed φ)
+    row_sq_t: object = None  # (m_loc,) EXACT ‖(Xᵀ)ᵢ‖² (local Xᵀ rows are full)
+
+
 def _aux_zero_rows(U, V, Z):
     k = U.shape[1]
     return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
@@ -284,10 +296,10 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
-def _prepare_cols(X, Y, V0, d, dtype):
+def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
     """Split the shared dimension m into d blocks (layout B).
 
-    Returns (Xd, Xtd, Yd, V_pad, mask, m): mask is (m_pad,) with 1.0 on real
+    Returns (ops, V_pad, m): ops.mask is (m_pad,) with 1.0 on real
     shared-dimension entries (sigmoid terms need it; linear terms are exact
     no-ops under zero padding)."""
     n, m = X.shape
@@ -295,6 +307,7 @@ def _prepare_cols(X, Y, V0, d, dtype):
     m_pad = d * m_loc
     mask = np.zeros((m_pad,), dtype=np.float64)
     mask[:m] = 1.0
+    X_bell = Xt_bell = None
 
     if sp.issparse(X):
         Xc = sp.csc_matrix(X)
@@ -309,11 +322,36 @@ def _prepare_cols(X, Y, V0, d, dtype):
             tblocks.append(sp.csr_matrix(blk.T))
         Xd = _stack_csr_blocks(blocks, dtype)     # local (n, m_loc)
         Xtd = _stack_csr_blocks(tblocks, dtype)   # local (m_loc, n)
+        if use_pallas:
+            from ..ops.pallas.policy import kernel_enabled
+
+            if kernel_enabled("bell_spmm"):
+                # Per-shard MXU block-sparse layouts: same decision tree as
+                # the rows layout (both orientations must convert).
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                X_bell = _stack_bell_blocks(blocks, dtype,
+                                            DENSIFY_THRESHOLD)
+                Xt_bell = (None if X_bell is None else
+                           _stack_bell_blocks(tblocks, dtype,
+                                              DENSIFY_THRESHOLD))
+                if Xt_bell is None:
+                    X_bell = Xt_bell = None
+        # fit-time norms: local X rows are column SLICES (partial — the φ
+        # psum completes them); local Xᵀ rows are full rows of Xᵀ (exact).
+        rs = np.stack([
+            np.asarray(b.multiply(b).sum(axis=1)).ravel() for b in blocks])
+        rst = np.stack([
+            np.asarray(b.multiply(b).sum(axis=0)).ravel() for b in blocks])
     else:
         Xh = np.zeros((n, m_pad), dtype=np.float64)
         Xh[:, :m] = np.asarray(X)
         Xd = jnp.asarray(Xh, dtype=dtype)
         Xtd = None
+        rs = np.stack([(Xh[:, i * m_loc:(i + 1) * m_loc] ** 2).sum(axis=1)
+                       for i in range(d)])
+        rst = np.stack([(Xh[:, i * m_loc:(i + 1) * m_loc] ** 2).sum(axis=0)
+                        for i in range(d)])
 
     if Y is None:
         Yd = None
@@ -334,8 +372,13 @@ def _prepare_cols(X, Y, V0, d, dtype):
 
     V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
     V_pad[:m] = V0
-    return (Xd, Xtd, Yd, jnp.asarray(V_pad, dtype=dtype),
-            jnp.asarray(mask, dtype=dtype), m)
+    fdt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
+    ops = _ColOperands(Xd, Xtd, Yd, jnp.asarray(mask, dtype=dtype),
+                       X_bell, Xt_bell,
+                       jnp.asarray(rs, dtype=fdt),
+                       jnp.asarray(rst, dtype=fdt))
+    return ops, jnp.asarray(V_pad, dtype=dtype), m
 
 
 # ---------------------------------------------------------------------------
@@ -518,27 +561,53 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
     return U, V, Z
 
 
-def _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
+def _cols_local_views(ops: _ColOperands, use_pallas: bool):
+    """Local (inside-shard_map) views of the cols operands: (Xl, Xtl,
+    X_bell_local | None, Xt_bell_local | None). Dense Xtl is Xl.T."""
+    sparse_x = is_sparse(ops.X)
+    Xl = _local_csr(ops.X) if sparse_x else ops.X
+    Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
+    X_bl = Xt_bl = None
+    if use_pallas:
+        if ops.X_bell is not None:
+            X_bl = _local_bell(ops.X_bell)
+        if ops.Xt_bell is not None:
+            Xt_bl = _local_bell(ops.Xt_bell)
+    return Xl, Xtl, X_bl, Xt_bl
+
+
+def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
     """One MU iteration, cols layout: V/Y/Xᵀ sharded on m, U/Z replicated.
     psums: X·V and VᵀV (U's terms), YᵀV (Z's term)."""
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
-    sparse_x = is_sparse(Xd)
-    Xl = _local_csr(Xd) if sparse_x else Xd
-    Xtl = _local_csr(Xtd) if sparse_x else None
+    sparse_x = is_sparse(ops.X)
+    Xl, Xtl, X_bl, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
+    Yd = ops.Y
     up = cfg.use_pallas
 
     VtV = (jax.lax.psum(gram(V), AXIS)
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
     if cfg.update_U:
-        num = jax.lax.psum(spmm(Xl, V) if sparse_x else matmul(Xl, V), AXIS)
+        if X_bl is not None:
+            from ..ops.pallas.bell import bell_spmm
+
+            num = jax.lax.psum(bell_spmm(X_bl, V), AXIS)
+        else:
+            num = jax.lax.psum(
+                spmm(Xl, V) if sparse_x else matmul(Xl, V), AXIS)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yd.T, V), AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
     if cfg.update_V:
-        num = spmm(Xtl, U) if sparse_x else matmul(Xl.T, U)
+        if Xt_bl is not None:
+            from ..ops.pallas.bell import bell_spmm
+
+            num = bell_spmm(Xt_bl, U)
+        else:
+            num = spmm(Xtl, U) if sparse_x else matmul(Xtl, U)
         S = gram(U)
         if cfg.has_Y:
             num = num + matmul(Yd, Z)
@@ -547,16 +616,23 @@ def _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper):
     return U, V, Z
 
 
-def _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper):
-    sparse_x = is_sparse(Xd)
-    Xl = _local_csr(Xd) if sparse_x else Xd
+def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
+    mask = ops.mask
+    Yd = ops.Y
+    sparse_x = is_sparse(ops.X)
+    Xl, Xtl, _, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
     if cfg.x_link == LINEAR:
         if sparse_x:
             a_sq = Xl.sq_norm
-            inner = jnp.sum(spmm(_local_csr(Xtd), U) * V)
+            if Xt_bl is not None:
+                from ..ops.pallas.bell import bell_inner
+
+                inner = bell_inner(Xt_bl, U, V)
+            else:
+                inner = jnp.sum(spmm(Xtl, U) * V)
         else:
             a_sq = jnp.sum(Xl * Xl)
-            inner = jnp.sum(matmul(Xl.T, U) * V)
+            inner = jnp.sum(matmul(Xtl, U) * V)
         gV = jax.lax.psum(gram(V), AXIS)
         x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
                         + jnp.sum(gram(U) * gV))
@@ -687,25 +763,31 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
     return U, V, Z
 
 
-def _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper, rng):
+def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
     """One Newton iteration, cols layout: the shared dimension m is sharded,
     so V's update is fully LOCAL (its rows see local X columns and local Y
     rows) while U's and Z's (g, H, φ) contributions are psummed — the
-    mirror image of the rows layout."""
+    mirror image of the rows layout. Sparse X terms ride the per-shard
+    BlockEll MXU layouts when available (Term.tiled), with fit-time row
+    norms (ops.row_sq partial per shard — completed by the φ psum)."""
+    from ..solvers.newton import Term
+
     kU, kZ, kV = jax.random.split(rng, 3)
     common = dict(trials=cfg.line_search_trials,
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
-    sparse_x = is_sparse(Xd)
-    Xl = _local_csr(Xd) if sparse_x else Xd
-    Xtl = _local_csr(Xtd) if sparse_x else Xl.T
+    mask = ops.mask
+    Yd = ops.Y
+    Xl, Xtl, X_bl, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
     xmask = mask if cfg.x_link != LINEAR else None
     ymask = mask if cfg.y_link != LINEAR else None
+    rsq = None if ops.row_sq is None else ops.row_sq[0]
+    rsq_t = None if ops.row_sq_t is None else ops.row_sq_t[0]
 
     if cfg.update_U:
         U = newton_update_factor(
-            kU, U, ((Xl, V),), (cfg.x_link,), hyper,
+            kU, U, (Term(Xl, V, X_bl, rsq),), (cfg.x_link,), hyper,
             non_negative=cfg.U_non_negative, distributed=(True,),
             masks=(xmask,), axis_name=AXIS, **common)
     if cfg.has_Y and cfg.update_Z:
@@ -715,7 +797,7 @@ def _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper, rng):
             masks=(ymask,), axis_name=AXIS, **common)
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
-        terms = ((Xtl, U),)
+        terms = (Term(Xtl, U, Xt_bl, rsq_t),)
         links = (cfg.x_link,)
         if cfg.has_Y:
             terms = terms + ((Yd, Z),)
@@ -772,37 +854,32 @@ def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
 def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
     from ..solvers.common import device_fit_core
 
-    x_spec, xt_spec, y_spec = ops_specs
-
-    def make_core(Xd, Xtd, Yd, mask):
+    def make_core(ops):
         def step_fn(_, __, U, V, Z, hyper, key=None):
             if solver == "mu":
-                return _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
-            return _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg,
-                                     hyper, key)
+                return _mu_cols_iter(ops, U, V, Z, cfg, hyper)
+            return _newton_cols_iter(ops, U, V, Z, cfg, hyper, key)
 
         def loss_core(state, hyper):
             _, __, U, V, Z = state
-            return _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper)
+            return _loss_cols(ops, U, V, Z, cfg, hyper)
 
         return device_fit_core(step_fn, loss_core,
                                carry_rng=(solver != "mu"))
 
-    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P(AXIS),
-                P(), P(), P())
+    in_specs = (ops_specs, P(), P(AXIS, None), P(), P(), P(), P())
     out_specs = (P(), P(AXIS, None), P(), P(), P())
 
     @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
-    def fit(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol, max_iter,
-            eval_every):
-        def body(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol):
-            core = make_core(Xd, Xtd, Yd, mask)
+    def fit(ops, U, V, Z, hyper, rng, tol, max_iter, eval_every):
+        def body(ops, U, V, Z, hyper, rng, tol):
+            core = make_core(ops)
             return core(None, None, U, V, Z, hyper, rng, tol, max_iter,
                         eval_every)
 
         sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-        return sm(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, tol)
+        return sm(ops, U, V, Z, hyper, rng, tol)
 
     return fit
 
@@ -877,43 +954,50 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
     return block, jax.jit(loss_fn)
 
 
+def _shard_specs_cols(ops: _ColOperands):
+    x_spec = P(AXIS) if is_sparse(ops.X) else P(None, AXIS)
+    xt_spec = None if ops.Xt is None else P(AXIS)
+    y_spec = None if ops.Y is None else P(AXIS, None)
+    xb_spec = None if ops.X_bell is None else P(AXIS)
+    xtb_spec = None if ops.Xt_bell is None else P(AXIS)
+    return _ColOperands(x_spec, xt_spec, y_spec, P(AXIS),
+                        xb_spec, xtb_spec, P(AXIS), P(AXIS))
+
+
 def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
-    x_spec, xt_spec, y_spec = ops_specs
-    in_specs = (x_spec, xt_spec, y_spec, P(), P(AXIS, None), P(), P(AXIS),
-                P(), P())
+    in_specs = (ops_specs, P(), P(AXIS, None), P(), P(), P())
     out_specs = ((P(), P(AXIS, None), P()), P(), P())
 
-    def body(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng, n_steps):
+    def body(ops, U, V, Z, hyper, rng, n_steps):
         key, off = rng
 
         def one(i, carry):
             U, V, Z = carry
             if solver == "mu":
-                return _mu_cols_iter(Xd, Xtd, Yd, U, V, Z, cfg, hyper)
-            return _newton_cols_iter(Xd, Xtd, Yd, U, V, Z, mask, cfg,
-                                     hyper, jax.random.fold_in(key, off + i))
+                return _mu_cols_iter(ops, U, V, Z, cfg, hyper)
+            return _newton_cols_iter(ops, U, V, Z, cfg, hyper,
+                                     jax.random.fold_in(key, off + i))
 
         U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_cols(Xd, Xtd, Yd, U, V, Z, mask, cfg, hyper)
+        loss = _loss_cols(ops, U, V, Z, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper, rng, n_steps):
-        Xd, Xtd, Yd, U, V, Z, mask = state
+        ops, U, V, Z = state
         sm = jax.shard_map(
             partial(body, n_steps=n_steps), mesh=mesh,
             in_specs=in_specs, out_specs=out_specs, check_vma=False)
-        (U, V, Z), loss, rng = sm(Xd, Xtd, Yd, U, V, Z, mask, hyper, rng)
-        return (Xd, Xtd, Yd, U, V, Z, mask), loss, rng
+        (U, V, Z), loss, rng = sm(ops, U, V, Z, hyper, rng)
+        return (ops, U, V, Z), loss, rng
 
     def loss_fn(state, hyper):
-        Xd, Xtd, Yd, U, V, Z, mask = state
+        ops, U, V, Z = state
         sm = jax.shard_map(
-            lambda Xd, Xtd, Yd, U, V, Z, mask, h: _loss_cols(
-                Xd, Xtd, Yd, U, V, Z, mask, cfg, h),
-            mesh=mesh, in_specs=in_specs[:8], out_specs=P(),
+            lambda ops, U, V, Z, h: _loss_cols(ops, U, V, Z, cfg, h),
+            mesh=mesh, in_specs=in_specs[:5], out_specs=P(),
             check_vma=False)
-        return sm(Xd, Xtd, Yd, U, V, Z, mask, hyper)
+        return sm(ops, U, V, Z, hyper)
 
     return block, jax.jit(loss_fn)
 
@@ -983,29 +1067,28 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         return U[:n], V, Z, n_iter, losses, iters, times
 
     if layout == "cols":
-        Xd, Xtd, Yd, V_pad, mask, m = _prepare_cols(X, Y, V0, d, dtype)
+        ops, V_pad, m = _prepare_cols(X, Y, V0, d, dtype,
+                                      use_pallas=cfg.use_pallas)
         U = jnp.asarray(U0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
-        specs = (P(AXIS) if is_sparse(Xd) else P(None, AXIS),
-                 P(AXIS) if Xtd is not None and is_sparse(Xtd) else None,
-                 None if Yd is None else P(AXIS, None))
+        specs = _shard_specs_cols(ops)
         if loop == "device":
             fitf = _make_cols_device_fit(cfg, mesh, solver, specs)
             t0 = _time.perf_counter()
-            out = fitf(Xd, Xtd, Yd, U, V_pad, Z, mask, hyper, rng,
+            out = fitf(ops, U, V_pad, Z, hyper, rng,
                        jnp.asarray(tol, dtype), max_iter, eval_every)
             U, V, Z, n_iter, losses, iters = finish_device_fit(
                 out, eval_every, max_iter)
             return (U, V[:m], Z, n_iter, losses, iters,
                     [_time.perf_counter() - t0])
         block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
-        state = (Xd, Xtd, Yd, U, V_pad, Z, mask)
+        state = (ops, U, V_pad, Z)
         state, n_iter, losses, iters, times = run_solver_loop(
             block, state, hyper, (rng, jnp.zeros((), jnp.int32)),
             max_iter=max_iter, tol=tol, eval_every=eval_every,
             verbose=verbose, initial_loss_fn=loss_fn)
-        _, _, _, U, V, Z, _ = state
+        _, U, V, Z = state
         return U, V[:m], Z, n_iter, losses, iters, times
 
     raise ValueError(f"layout must be 'rows' or 'cols', got {layout!r}")

@@ -355,6 +355,68 @@ class TestShardedBell:
         assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
 
+    def test_prepare_cols_builds_stacked_bell(self, rng):
+        from pycmf_tpu.parallel.sharded import _prepare_cols
+
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        V0 = np.abs(rng.randn(300, 4))
+        ops, _, _ = _prepare_cols(X, Y, V0, 8, jnp.float64,
+                                  use_pallas=True)
+        assert ops.X_bell is not None and ops.Xt_bell is not None
+        assert ops.X_bell.blocks.shape[0] == 8
+        assert ops.row_sq.shape == (8, 67)     # partial per-shard ‖xᵢ‖²
+        # partial row norms sum to the exact global row norms
+        Xd = np.asarray(X.todense())
+        assert np.allclose(np.asarray(ops.row_sq).sum(axis=0),
+                           (Xd ** 2).sum(axis=1))
+        # local Xᵀ row norms are exact (full rows of Xᵀ), concatenated
+        rst = np.asarray(ops.row_sq_t).ravel()[:300]
+        assert np.allclose(rst, (Xd ** 2).sum(axis=0))
+
+    def test_mu_bell_cols_matches_segment_sum(self, rng):
+        """Cols layout: the shared dim m=300 is sharded (m_loc=38 per
+        shard); the per-shard BlockEll MU fit must match segment-sum."""
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                  dtype="float64", n_shards=8, sparse_mode="csr",
+                  shard_layout="cols")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-10)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-9)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-9)
+
+    def test_newton_bell_cols_matches_segment_sum(self, rng):
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=5, tol=0.0,
+                  dtype="float64", n_shards=8, sparse_mode="csr",
+                  shard_layout="cols")
+        m1 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+
+    def test_bell_cols_device_loop_matches_host(self, rng):
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=1e-5,
+                  dtype="float64", n_shards=8, sparse_mode="csr",
+                  shard_layout="cols", use_pallas=True)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
 
 class TestShardedAutoDensify:
     def test_sparse_auto_densifies_per_shard_and_matches_csr(self, rng):
