@@ -96,9 +96,15 @@ def main() -> None:
     def timed_best(solver, cfg, max_iter, tol, eval_every, ref_loss):
         """Upload once per dtype, warm-compile, time, guard quality."""
         best = None
-        for dd in (jnp.float32, jnp.bfloat16):
+        names = {jnp.float32: "f32", jnp.bfloat16: "bf16",
+                 jnp.float8_e4m3fn: "fp8"}
+        for dd in (jnp.float32, jnp.bfloat16, jnp.float8_e4m3fn):
             Xc = as_coupled(X, dd)
-            Yc = as_coupled(Y, dd)
+            # Y (labels) stays bf16 on the fp8 path — X's data passes are
+            # the bottleneck; quantizing the small Y saves nothing
+            # (models/cmf.py applies the same policy).
+            Yc = as_coupled(Y, jnp.bfloat16 if dd == jnp.float8_e4m3fn
+                            else dd)
             # warm-up with the SAME static (max_iter, eval_every): jit is
             # keyed on them, so a different warm shape would push a full
             # remote recompile into the timed region
@@ -108,7 +114,7 @@ def main() -> None:
             t = time.perf_counter() - t0
             n_iter, losses = out[3], out[4]
             gap = abs(losses[-1] - ref_loss) / ref_loss
-            name = "bf16" if dd == jnp.bfloat16 else "f32"
+            name = names[dd]
             log(f"tpu {solver}[{name}]: {n_iter} iters, {t:.3f}s, "
                 f"loss {losses[-1]:.6g} (gap {gap:.3%})")
             if gap <= QUALITY_BAR and (best is None or t < best):

@@ -5,7 +5,7 @@ The kernel is HBM-bound on the single X pass (bf16 roofline ~1.7 ms at
 (docs/PERFORMANCE.md). This sweep times fused_mu_u_pass at 20NG shapes
 for a few row tiles that divide n exactly (no padding pass).
 
-Usage: python benchmarks/tune_fused_mu.py [row_tile ...]
+Usage: python benchmarks/tune_fused_mu.py [fp8|bf16|f32] [row_tile ...]
 """
 import os
 import sys
@@ -17,15 +17,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from pycmf_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from pycmf_tpu.ops.pallas.mu_fused import fused_mu_u_pass  # noqa: E402
 
 N, M, K = 30000, 11314, 20
+_DTYPES = {"fp8": jnp.float8_e4m3fn, "bf16": jnp.bfloat16,
+           "f32": jnp.float32}
 
 
 def main():
-    tiles = [int(t) for t in sys.argv[1:]] or [240, 400, 1200]
+    args = sys.argv[1:]
+    dt = jnp.bfloat16
+    if args and args[0] in _DTYPES:
+        dt = _DTYPES[args.pop(0)]
+    tiles = [int(t) for t in args] or [240, 400, 1200]
     rng = np.random.RandomState(0)
-    X = jnp.asarray(np.abs(rng.randn(N, M)), dtype=jnp.bfloat16)
+    X = jnp.asarray(np.abs(rng.randn(N, M)), dtype=dt)
     U = jnp.asarray(np.abs(rng.randn(N, K)), dtype=jnp.float32)
     V = jnp.asarray(np.abs(rng.randn(M, K)), dtype=jnp.float32)
     VtV = V.T @ V

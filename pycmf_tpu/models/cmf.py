@@ -36,7 +36,13 @@ _DTYPES = {
     "float32": jnp.float32,
     "float64": jnp.float64,
     "bfloat16": jnp.bfloat16,
+    # fp8 is data_dtype-only (dense X/Y storage at 1 byte/elt — half bf16's
+    # HBM traffic on the data passes); factors/accumulation never go below
+    # bf16/f32, and _resolve_dtype rejects it for the factor dtype.
+    "float8_e4m3fn": jnp.float8_e4m3fn,
+    "fp8": jnp.float8_e4m3fn,
 }
+_FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
 
 
 def _jax_seed(random_state) -> int:
@@ -76,7 +82,11 @@ class CMF(BaseEstimator, TransformerMixin):
     data_dtype : storage dtype for X/Y on device (None = dtype).
         'bfloat16' halves the HBM traffic of the bandwidth-bound data
         passes while factors and accumulation stay float32
-        (docs/PERFORMANCE.md).
+        (docs/PERFORMANCE.md). 'fp8' (float8_e4m3fn) halves it again for
+        dense X (the fused kernels upcast tiles to bf16 in-register; Y
+        stays bf16; factors/accumulation stay float32) — quantization
+        noise averages out in the length-m MXU contractions, so the loss
+        impact is small, but verify against your tolerance.
     eval_every : iterations between loss/tol checks.
     loop : 'auto' (default) | 'host' | 'device'. 'device' runs the whole
         tol-checked fit as one on-device lax.while_loop (one dispatch per
@@ -173,6 +183,10 @@ class CMF(BaseEstimator, TransformerMixin):
             raise ValueError(
                 "dtype='float64' requires jax_enable_x64; call "
                 "jax.config.update('jax_enable_x64', True) first")
+        if which is None and dt in _FP8:
+            raise ValueError(
+                "fp8 is a data storage dtype, not a factor/compute dtype; "
+                "pass it as data_dtype='fp8' with dtype='float32'")
         return dt
 
     def _resolve_data_dtype(self):
@@ -242,6 +256,21 @@ class CMF(BaseEstimator, TransformerMixin):
         X = check_matrix(X, "X", require_non_negative=mu)
         if Y is not None:
             Y = check_matrix(Y, "Y", require_non_negative=mu)
+        if self._resolve_data_dtype() in _FP8:
+            # fp8 is the dense fused-kernel fast path only: CSR segment ops
+            # and the sharded runner's per-shard layouts stay bf16/f32.
+            sharded = self.n_shards is not None and self.n_shards > 1
+            if sharded:
+                raise ValueError(
+                    "data_dtype='fp8' is not supported with n_shards > 1; "
+                    "use data_dtype='bfloat16' for sharded fits")
+            for nm, A in (("X", X), ("Y", Y)):
+                if A is not None and self._stays_sparse(A):
+                    raise ValueError(
+                        f"data_dtype='fp8' requires dense device storage, "
+                        f"but {nm} stays CSR under sparse_mode="
+                        f"{self.sparse_mode!r}; use sparse_mode='dense' "
+                        "(or 'auto' below the densify threshold)")
         if self.solver == "newton":
             # Sigmoid-linked sparse inputs are densified (see
             # _matrix_sparse_mode) — except under the sharded runner, which
@@ -316,10 +345,14 @@ class CMF(BaseEstimator, TransformerMixin):
         else:
             up = self._resolve_use_pallas()
             ddt = self._resolve_data_dtype()
+            # fp8 storage is for the BIG matrix (X's data passes are the
+            # bottleneck); the small Y stays bf16 — quantizing it saves
+            # nothing and costs label precision.
+            ydt = jnp.bfloat16 if ddt in _FP8 else ddt
             Xc = as_coupled(X, ddt, use_pallas=up,
                             sparse_mode=self._matrix_sparse_mode(
                                 X, self.x_link))
-            Yc = (as_coupled(Y, ddt, use_pallas=up,
+            Yc = (as_coupled(Y, ydt, use_pallas=up,
                              sparse_mode=self._matrix_sparse_mode(
                                  Y, self.y_link))
                   if Y is not None else None)

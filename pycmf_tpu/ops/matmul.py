@@ -37,9 +37,12 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
     the MXU in bf16 and accumulation is forced to float32 — the result is
     always float32, never a bf16 accumulate.
     """
-    if jnp.bfloat16 in (a.dtype, b.dtype):
+    lows = (jnp.bfloat16, jnp.float8_e4m3fn, jnp.float8_e5m2)
+    if a.dtype in lows or b.dtype in lows:
         # Native single-pass bf16 MXU with f32 accumulation. (HIGHEST would
         # request multi-pass emulation and forfeit the bandwidth win.)
+        # fp8 operands (data_dtype fast path) upcast to bf16 at the MXU —
+        # XLA fuses the convert into the dot's operand pipeline.
         return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                           precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)

@@ -56,6 +56,11 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
     eps = scal_ref[0, 2]
 
     x = x_ref[:]                       # (R, m) data dtype
+    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 data path: X is stored at 1 byte/elt (half the HBM traffic of
+        # bf16); the MXU contracts in bf16, so upcast the tile in-register.
+        # V/factors/accumulators are never quantized below bf16/f32.
+        x = x.astype(jnp.bfloat16)
     u = u_ref[:]                       # (R, k) f32
 
     acc = u.dtype  # f32 accumulation (f64 under the x64 parity tests)
@@ -113,19 +118,20 @@ _TILE_BUDGET_BYTES = 16_000_000
 
 
 def _pick_row_tile(n: int, m: int, itemsize: int) -> int:
-    """Largest row tile ≤ budget that divides n, multiple of 16 (covers the
-    bf16 sublane granularity; f32 needs only 8). When n has no suitable
-    divisor, returns the budget tile — the kernels handle the partial edge
-    tile in-kernel (masked accumulation), so no padding pass is ever
-    needed."""
+    """Largest row tile ≤ budget that divides n, multiple of the dtype's
+    sublane granularity (8 f32 / 16 bf16 / 32 fp8 — use 16 for ≥2-byte
+    dtypes, 32 for 1-byte). When n has no suitable divisor, returns the
+    budget tile — the kernels handle the partial edge tile in-kernel
+    (masked accumulation), so no padding pass is ever needed."""
+    step = 32 if itemsize == 1 else 16
     lanes = -(-m // 128) * 128           # VMEM pads the lane dim to 128
-    max_rows = max(16, _TILE_BUDGET_BYTES // (lanes * itemsize))
+    max_rows = max(step, _TILE_BUDGET_BYTES // (lanes * itemsize))
     best = 0
-    for r in range(16, min(1024, max_rows) + 1, 16):
+    for r in range(step, min(1024, max_rows) + 1, step):
         if n % r == 0:
             best = r
     if best == 0:
-        best = max(16, min(512, max_rows) // 16 * 16)
+        best = max(step, min(512, max_rows) // step * step)
     return best
 
 
@@ -143,7 +149,11 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
     if row_tile is None:
         row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
     nb = -(-n // row_tile)
-    Vtx = V.T.astype(X.dtype)           # (k, m), cast ONCE per call
+    # (k, m), cast ONCE per call. fp8 X contracts in bf16 (the kernel
+    # upcasts the tile in-register) — V is never quantized below bf16.
+    vt_dt = (jnp.bfloat16 if X.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+             else X.dtype)
+    Vtx = V.T.astype(vt_dt)
     scal = jnp.stack([jnp.asarray(l1, fdtype), jnp.asarray(l2, fdtype),
                       jnp.asarray(eps, fdtype)]).reshape(1, 3)
     nv = jnp.asarray(n, jnp.int32).reshape(1, 1)

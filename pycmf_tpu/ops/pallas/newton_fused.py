@@ -48,6 +48,10 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
     l2 = scal_ref[0, 1]
 
     x = x_ref[:]                        # (R, m) data dtype
+    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 data path: upcast the tile in-register; the MXU contracts in
+        # bf16 (same policy as mu_fused._kernel).
+        x = x.astype(jnp.bfloat16)
     u = u_ref[:]                        # (R, k) f32
     btb = btb_ref[:]                    # (k, k) f32
     acc = u.dtype
@@ -133,7 +137,9 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
     if row_tile is None:
         row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
     nb = -(-n // row_tile)
-    Vtx = V.T.astype(X.dtype)
+    vt_dt = (jnp.bfloat16 if X.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+             else X.dtype)
+    Vtx = V.T.astype(vt_dt)
     # (n, 1) column layout: a (row_tile, 1) block satisfies the TPU tiling
     # rule (sublane dim divisible by 8; lane dim equal to the array's).
     rsq = row_sq.astype(fdtype).reshape(n, 1)

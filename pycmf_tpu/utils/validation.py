@@ -36,7 +36,8 @@ def as_coupled(A, dtype, use_pallas: bool = False,
       'csr'   — always keep CSR (+ tiled layouts when use_pallas).
       'dense' — always densify.
     """
-    fdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    fdt = (jnp.float32 if dtype in (jnp.bfloat16, jnp.float8_e4m3fn,
+                                    jnp.float8_e5m2) else dtype)
 
     def _dense_coupled(Ah):
         sq = Ah.astype(np.float64) ** 2
