@@ -42,10 +42,20 @@ def log(msg):
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
     log(f"backend={jax.default_backend()} N={N} M={M}")
-    rng = np.random.RandomState(0)
     t0 = time.perf_counter()
-    Xh = np.abs(rng.randn(N, M)).astype(np.float32)
+    # chunked f32 generation with the fast PCG64 Generator: one big f64
+    # randn allocates/zeroes ~5.4 GB, which takes tens of minutes under
+    # this microVM's huge-page zeroing — measured, not hypothetical.
+    gen = np.random.default_rng(0)
+    Xh = np.empty((N, M), np.float32)
+    for lo in range(0, N, 2000):
+        hi = min(lo + 2000, N)
+        Xh[lo:hi] = np.abs(gen.standard_normal((hi - lo, M),
+                                               dtype=np.float32))
+        if lo % 10000 == 0:
+            log(f"  gen rows {lo}..{hi}")
     log(f"host data gen {time.perf_counter() - t0:.1f}s")
+    rng = np.random.RandomState(0)
 
     t0 = time.perf_counter()
     X16 = jnp.asarray(Xh.astype(ml_dtypes.bfloat16))
@@ -67,8 +77,12 @@ def main():
 
     def timeit(name, fn, *args):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        try:
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        except Exception as e:  # noqa: BLE001 — report and continue sweep
+            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            return None
         log(f"{name}: compile+run {time.perf_counter() - t0:.1f}s")
         ts = []
         for _ in range(3):
@@ -109,9 +123,9 @@ def main():
 
         return run
 
-    for rt in (None, 400, 1200):
+    for rt in (None, 800):
         timeit(f"MU bf16 rt={rt}", mu_chain(rt), X16, U, V, VtV)
-    for rt in (None, 800, 1600):
+    for rt in (None, 1600):
         timeit(f"MU fp8  rt={rt}", mu_chain(rt), X8, U, V, VtV)
     for tr in (8, 4, 0):
         timeit(f"Newton bf16 tr={tr} rt=None", newton_chain(None, tr),

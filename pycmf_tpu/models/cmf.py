@@ -336,12 +336,14 @@ class CMF(BaseEstimator, TransformerMixin):
 
             hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
                                self.hessian_pertubation, dtype=dt)
+            ddt = self._resolve_data_dtype()
             Uf, Vf, Zf, n_iter, losses, iters, times = run_sharded(
                 self.solver, X, Y, U0, V0, Z0, cfg, hyper, rng,
                 n_shards=self.n_shards, layout=self.shard_layout, dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
-                loop=self._resolve_loop(), sparse_mode=self.sparse_mode)
+                loop=self._resolve_loop(), sparse_mode=self.sparse_mode,
+                data_dtype=None if ddt == dt else ddt)
         else:
             up = self._resolve_use_pallas()
             ddt = self._resolve_data_dtype()

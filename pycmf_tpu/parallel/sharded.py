@@ -202,10 +202,16 @@ def _aux_zero_rows(U, V, Z):
     return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
 
 
-def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
-    """Split X by rows into d blocks; pad; build transposes per block."""
+def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
+                  data_dtype=None):
+    """Split X by rows into d blocks; pad; build transposes per block.
+
+    data_dtype: storage dtype for the X/Y shards (None = dtype). bf16
+    halves each chip's HBM data-pass traffic exactly as on one chip;
+    factors, masks, and norms stay at ``dtype``/f32."""
     from ..ops.pallas.spmm import b_fits_vmem
 
+    ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     n_loc = -(-n // d)
     n_pad = d * n_loc
@@ -223,8 +229,8 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
                     (n_loc - blk.shape[0], m))]).tocsr()
             blocks.append(blk)
             tblocks.append(blk.T.tocsr())
-        Xd = _stack_csr_blocks(blocks, dtype)
-        Xtd = _stack_csr_blocks(tblocks, dtype)
+        Xd = _stack_csr_blocks(blocks, ddt)
+        Xtd = _stack_csr_blocks(tblocks, ddt)
         if use_pallas:
             from ..ops.pallas.policy import kernel_enabled
 
@@ -236,10 +242,10 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
                 # through to the options below.
                 from ..utils.validation import DENSIFY_THRESHOLD
 
-                X_bell = _stack_bell_blocks(blocks, dtype,
+                X_bell = _stack_bell_blocks(blocks, ddt,
                                             DENSIFY_THRESHOLD)
                 Xt_bell = (None if X_bell is None else
-                           _stack_bell_blocks(tblocks, dtype,
+                           _stack_bell_blocks(tblocks, ddt,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
@@ -251,13 +257,13 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
                 # single-chunk tiled layouts (fall back to segment ops when
                 # the dense operand would overflow VMEM)
                 if b_fits_vmem(m):
-                    X_tiled = _stack_tiled_blocks(blocks, dtype)
+                    X_tiled = _stack_tiled_blocks(blocks, ddt)
                 if b_fits_vmem(n_loc):
-                    Xt_tiled = _stack_tiled_blocks(tblocks, dtype)
+                    Xt_tiled = _stack_tiled_blocks(tblocks, ddt)
     else:
         Xh = np.zeros((n_pad, m), dtype=np.float64)
         Xh[:n] = np.asarray(X)
-        Xd = jnp.asarray(Xh, dtype=dtype)
+        Xd = jnp.asarray(Xh, dtype=ddt)
         Xtd = None
 
     if Y is None:
@@ -265,9 +271,9 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     elif sp.issparse(Y):
         from ..ops.sparse import csr_transpose_host
 
-        Yd, Ytd = csr_transpose_host(Y, dtype)
+        Yd, Ytd = csr_transpose_host(Y, ddt)
     else:
-        Yd = jnp.asarray(np.asarray(Y), dtype=dtype)
+        Yd = jnp.asarray(np.asarray(Y), dtype=ddt)
         Ytd = None
 
     # fit-time per-row norms (constant across iterations)
@@ -296,12 +302,14 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False):
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
-def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
+def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
+                  data_dtype=None):
     """Split the shared dimension m into d blocks (layout B).
 
     Returns (ops, V_pad, m): ops.mask is (m_pad,) with 1.0 on real
     shared-dimension entries (sigmoid terms need it; linear terms are exact
-    no-ops under zero padding)."""
+    no-ops under zero padding). data_dtype: see _prepare_rows."""
+    ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     m_loc = -(-m // d)
     m_pad = d * m_loc
@@ -320,8 +328,8 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
                     (n, m_loc - blk.shape[1]))])
             blocks.append(sp.csr_matrix(blk))
             tblocks.append(sp.csr_matrix(blk.T))
-        Xd = _stack_csr_blocks(blocks, dtype)     # local (n, m_loc)
-        Xtd = _stack_csr_blocks(tblocks, dtype)   # local (m_loc, n)
+        Xd = _stack_csr_blocks(blocks, ddt)     # local (n, m_loc)
+        Xtd = _stack_csr_blocks(tblocks, ddt)   # local (m_loc, n)
         if use_pallas:
             from ..ops.pallas.policy import kernel_enabled
 
@@ -330,10 +338,10 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
                 # the rows layout (both orientations must convert).
                 from ..utils.validation import DENSIFY_THRESHOLD
 
-                X_bell = _stack_bell_blocks(blocks, dtype,
+                X_bell = _stack_bell_blocks(blocks, ddt,
                                             DENSIFY_THRESHOLD)
                 Xt_bell = (None if X_bell is None else
-                           _stack_bell_blocks(tblocks, dtype,
+                           _stack_bell_blocks(tblocks, ddt,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
@@ -346,7 +354,7 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
     else:
         Xh = np.zeros((n, m_pad), dtype=np.float64)
         Xh[:, :m] = np.asarray(X)
-        Xd = jnp.asarray(Xh, dtype=dtype)
+        Xd = jnp.asarray(Xh, dtype=ddt)
         Xtd = None
         rs = np.stack([(Xh[:, i * m_loc:(i + 1) * m_loc] ** 2).sum(axis=1)
                        for i in range(d)])
@@ -368,7 +376,7 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False):
             Y = np.asarray(Y.todense())
         Yh = np.zeros((m_pad, Y.shape[1]), dtype=np.float64)
         Yh[:m] = np.asarray(Y)
-        Yd = jnp.asarray(Yh, dtype=dtype)
+        Yd = jnp.asarray(Yh, dtype=ddt)
 
     V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
     V_pad[:m] = V0
@@ -407,8 +415,12 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
             else:
                 inner = sddmm_dot(Xl, U, V)
         else:
-            a_sq = jnp.sum(ops.X * ops.X)
-            inner = jnp.sum(matmul(ops.X, V) * U)
+            # exact fit-time norms (f32/f64) — summing bf16/fp8 squares at
+            # data precision would bias the loss — and a factor-precision
+            # inner: the factored identity cancels large terms, so the bf16
+            # matmul path's quantization of V would bias the result
+            a_sq = jnp.sum(ops.row_sq)
+            inner = jnp.sum(matmul(ops.X.astype(V.dtype), V) * U)
         gU = jax.lax.psum(gram(U), AXIS)
         part = jax.lax.psum(a_sq - 2.0 * inner, AXIS)
         x_term = 0.5 * (part + jnp.sum(gU * gram(V)))
@@ -631,8 +643,9 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
             else:
                 inner = jnp.sum(spmm(Xtl, U) * V)
         else:
-            a_sq = jnp.sum(Xl * Xl)
-            inner = jnp.sum(matmul(Xtl, U) * V)
+            a_sq = jnp.sum(ops.row_sq_t[0])   # exact fit-time norms
+            # factor-precision inner (see _loss_rows)
+            inner = jnp.sum(matmul(Xtl.astype(U.dtype), U) * V)
         gV = jax.lax.psum(gram(V), AXIS)
         x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
                         + jnp.sum(gram(U) * gV))
@@ -644,13 +657,14 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
     loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio)
     loss = loss + jax.lax.psum(penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
     if cfg.has_Y:
+        Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
         if cfg.y_link == LINEAR:
             gV = jax.lax.psum(gram(V), AXIS)
-            y_sq = jax.lax.psum(jnp.sum(Yd * Yd), AXIS)
-            y_inner = jax.lax.psum(jnp.sum(matmul(Yd.T, V) * Z), AXIS)
+            y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
+            y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), AXIS)
             y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
         else:
-            R = Yd - jax.nn.sigmoid(matmul(V, Z.T))
+            R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
             y_term = 0.5 * jax.lax.psum(
                 jnp.sum(mask[:, None] * R * R), AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
@@ -1006,7 +1020,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
                 hyper: Hyper, rng, *, n_shards: int, layout: str = "rows",
                 dtype=jnp.float32, mesh=None, max_iter: int = 200,
                 tol: float = 1e-4, eval_every: int = 10, verbose: int = 0,
-                loop: str = "host", sparse_mode: str = "auto"):
+                loop: str = "host", sparse_mode: str = "auto",
+                data_dtype=None):
     """Sharded fit driver. X/Y are host matrices (ndarray or scipy.sparse);
     U0/V0/Z0 host ndarrays. Returns the same tuple as run_mu/run_newton.
     loop='device' runs the whole tol loop inside shard_map (one dispatch).
@@ -1040,7 +1055,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
 
     if layout == "rows":
         ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype,
-                                      use_pallas=cfg.use_pallas)
+                                      use_pallas=cfg.use_pallas,
+                                      data_dtype=data_dtype)
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
@@ -1068,7 +1084,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
 
     if layout == "cols":
         ops, V_pad, m = _prepare_cols(X, Y, V0, d, dtype,
-                                      use_pallas=cfg.use_pallas)
+                                      use_pallas=cfg.use_pallas,
+                                      data_dtype=data_dtype)
         U = jnp.asarray(U0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))

@@ -418,6 +418,48 @@ class TestShardedBell:
         assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
 
 
+class TestShardedDataDtype:
+    """data_dtype='bfloat16' for sharded fits: shards store X/Y in bf16
+    (halving per-chip HBM data-pass traffic) while factors/masks/norms
+    stay at the factor dtype — same policy as the single-chip path."""
+
+    def _pair(self, rng, layout, solver="mu", max_iter=20):
+        X, Y = make_problem(rng, n=67, m=40)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver=solver, max_iter=max_iter,
+                  tol=0.0, dtype="float64", data_dtype="bfloat16")
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(n_shards=8, shard_layout=layout, **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        mref = CMF(n_components=4, solver=solver, max_iter=max_iter,
+                   tol=0.0, dtype="float64").fit(X, Y, U=U0, V=V0, Z=Z0)
+        return m1, m2, mref
+
+    @pytest.mark.parametrize("layout", ["rows", "cols"])
+    def test_mu_bf16_data_sharded_matches_single(self, rng, layout):
+        m1, m2, mref = self._pair(rng, layout)
+        # same bf16 quantization of X, but the psum reduction order differs
+        # from the single-chip dot at ~1e-7, and each iteration's bf16
+        # re-quantization of the evolving V amplifies that discontinuously —
+        # ~1e-3 factor divergence after 20 iterations is the expected level
+        assert np.allclose(m1.U_, m2.U_, rtol=2e-2, atol=1e-4)
+        assert np.allclose(m1.V_, m2.V_, rtol=2e-2, atol=1e-4)
+        # and both stay near the full-precision fit
+        assert m2.reconstruction_err_ == pytest.approx(
+            mref.reconstruction_err_, rel=0.02)
+
+    def test_newton_bf16_data_sharded_converges(self, rng):
+        # Newton's rows-layout aux loss reuses the step's bf16 accumulators
+        # (zero extra data passes), so at this tiny scale the REPORTED loss
+        # carries ~1-2% quantization noise on top of the bf16 fit itself
+        m1, m2, mref = self._pair(rng, "rows", solver="newton", max_iter=8)
+        assert m2.loss_history_[-1] < m2.loss_history_[0]
+        assert m2.reconstruction_err_ == pytest.approx(
+            mref.reconstruction_err_, rel=0.05)
+
+
 class TestShardedAutoDensify:
     def test_sparse_auto_densifies_per_shard_and_matches_csr(self, rng):
         """sparse_mode='auto' densifies each shard's local block when it
