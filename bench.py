@@ -98,12 +98,16 @@ def main() -> None:
         best = None
         names = {jnp.float32: "f32", jnp.bfloat16: "bf16",
                  jnp.float8_e4m3fn: "fp8"}
-        dtypes = [jnp.float32, jnp.bfloat16]
+        # bf16 first: it has always been the fastest passing dtype, and
+        # skipping the f32 fallback when bf16 passes the guard saves its
+        # 2x-bigger upload through the ~1-6 MB/s device tunnel (measured
+        # 10-25 min for the f32 copy — wall-clock, not solver time).
+        dtypes = [jnp.bfloat16, jnp.float32]
         if os.environ.get("PYCMF_BENCH_FP8", "0") == "1":
             # fp8 measured ~2x SLOWER than bf16 on v5e (the in-register
             # fp8->bf16 convert dominates; no native fp8 on this chip) and
             # its extra upload costs minutes on the tunnel — opt-in only.
-            dtypes.append(jnp.float8_e4m3fn)
+            dtypes.insert(0, jnp.float8_e4m3fn)
         for dd in dtypes:
             Xc = as_coupled(X, dd)
             # Y (labels) stays bf16 on the fp8 path — X's data passes are
@@ -125,6 +129,10 @@ def main() -> None:
                 f"loss {losses[-1]:.6g} (gap {gap:.3%})")
             if gap <= QUALITY_BAR and (best is None or t < best):
                 best = t
+            if best is not None and dd != jnp.float8_e4m3fn:
+                # bf16 passed → skip the f32 fallback (fp8, when enabled,
+                # runs first for its measurement but never short-circuits)
+                break
         return best
 
     speedups = {}

@@ -15,6 +15,27 @@ from __future__ import annotations
 import os
 
 
+def _host_key() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT results embed the compile machine's features; this VM can
+    be rescheduled onto hosts with different CPUs (observed: cached
+    binaries loading with 'machine type mismatch ... could lead to SIGILL'
+    warnings). Keying the default cache dir on the flags makes a migrated
+    VM start a fresh cache instead of executing foreign binaries.
+    """
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache. Returns the dir used,
     or None when disabled/unavailable."""
@@ -25,7 +46,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     path = (path or os.environ.get("PYCMF_TPU_CACHE_DIR")
             or os.path.join(os.path.expanduser("~"), ".cache",
-                            "pycmf_tpu", "xla"))
+                            "pycmf_tpu", f"xla-{_host_key()}"))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
