@@ -97,7 +97,8 @@ class CMF(BaseEstimator, TransformerMixin):
         ~2 GB — the fast TPU path) | 'csr' | 'dense'.
     hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
     line_search_trials : backtracking halvings (0 = full Newton step).
-    n_shards : row-shard data over this many devices (None = single-chip).
+    n_shards : row-shard data over this many devices (None = single-chip;
+        -1 or 'all' = every visible device).
     shard_layout : 'rows' (shard n; default) | 'cols' (shard m) — SURVEY.md §7
         layouts A and B.
 
@@ -149,6 +150,12 @@ class CMF(BaseEstimator, TransformerMixin):
         self.data_dtype = data_dtype
 
     # -- internals --------------------------------------------------------
+
+    def _resolve_n_shards(self):
+        """-1 or 'all' → every visible device; None/int passthrough."""
+        if self.n_shards in (-1, "all"):
+            return len(jax.devices())
+        return self.n_shards
 
     def _resolve_loop(self):
         """'auto' → fully device-resident tol loop on TPU (one dispatch per
@@ -232,7 +239,8 @@ class CMF(BaseEstimator, TransformerMixin):
         """Will this host matrix remain CSR on device under current params?"""
         if not sp.issparse(A):
             return False
-        if self.n_shards is not None and self.n_shards > 1:
+        ns = self._resolve_n_shards()
+        if ns is not None and ns > 1:
             return True  # the sharded runner keeps sparse inputs CSR
         if self.sparse_mode == "dense":
             return False
@@ -259,7 +267,8 @@ class CMF(BaseEstimator, TransformerMixin):
         if self._resolve_data_dtype() in _FP8:
             # fp8 is the dense fused-kernel fast path only: CSR segment ops
             # and the sharded runner's per-shard layouts stay bf16/f32.
-            sharded = self.n_shards is not None and self.n_shards > 1
+            ns = self._resolve_n_shards()
+            sharded = ns is not None and ns > 1
             if sharded:
                 raise ValueError(
                     "data_dtype='fp8' is not supported with n_shards > 1; "
@@ -275,7 +284,8 @@ class CMF(BaseEstimator, TransformerMixin):
             # Sigmoid-linked sparse inputs are densified (see
             # _matrix_sparse_mode) — except under the sharded runner, which
             # keeps X CSR in the rows layout; densify on the host there.
-            sharded = self.n_shards is not None and self.n_shards > 1
+            ns = self._resolve_n_shards()
+            sharded = ns is not None and ns > 1
             if sharded and sp.issparse(X) and self.x_link == "sigmoid":
                 X = np.asarray(X.todense())
             if sharded and Y is not None and sp.issparse(Y) \
@@ -329,7 +339,8 @@ class CMF(BaseEstimator, TransformerMixin):
         cfg = self._config(has_Y=Y is not None)
         rng = jax.random.PRNGKey(_jax_seed(self.random_state))
 
-        if self.n_shards is not None and self.n_shards > 1:
+        n_shards = self._resolve_n_shards()
+        if n_shards is not None and n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
             # (SURVEY.md §7 stage 6), so hand over host matrices directly.
             from ..parallel.sharded import run_sharded
@@ -339,7 +350,7 @@ class CMF(BaseEstimator, TransformerMixin):
             ddt = self._resolve_data_dtype()
             Uf, Vf, Zf, n_iter, losses, iters, times = run_sharded(
                 self.solver, X, Y, U0, V0, Z0, cfg, hyper, rng,
-                n_shards=self.n_shards, layout=self.shard_layout, dtype=dt,
+                n_shards=n_shards, layout=self.shard_layout, dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
                 loop=self._resolve_loop(), sparse_mode=self.sparse_mode,

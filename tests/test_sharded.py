@@ -477,3 +477,19 @@ class TestShardedAutoDensify:
         assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-9)
         assert np.allclose(m1.U_, m2.U_, rtol=1e-8, atol=1e-10)
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
+
+
+class TestNShardsAll:
+    def test_minus_one_uses_all_devices(self, rng):
+        X, Y = make_problem(rng, n=67, m=40)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(40, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64")
+        m1 = CMF(n_shards=len(jax.devices()), **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(n_shards=-1, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m3 = CMF(n_shards="all", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.U_, m3.U_, rtol=1e-12)
