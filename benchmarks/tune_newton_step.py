@@ -13,6 +13,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -32,9 +33,16 @@ ITERS = 50
 
 def main():
     rng = np.random.RandomState(0)
-    Xh = np.abs(rng.randn(N, M))
+    # randint-COO + device-side densify (see tune_mu_step.py): ~7 MB over
+    # the tunnel instead of a 2.7 GB host alloc + 0.68 GB upload
+    nnz = 880_000
+    gen = np.random.default_rng(0)
+    Xh = sp.coo_matrix(
+        (np.abs(gen.standard_normal(nnz)),
+         (gen.integers(0, N, nnz), gen.integers(0, M, nnz))),
+        shape=(N, M)).tocsr()
     Yh = (rng.rand(M, R) > 0.5).astype(np.float64)
-    X = as_coupled(Xh, jnp.bfloat16)
+    X = as_coupled(Xh, jnp.bfloat16, sparse_mode="dense")
     Y = as_coupled(Yh, jnp.bfloat16)
     U = jnp.asarray(np.abs(rng.randn(N, K)), jnp.float32)
     V = jnp.asarray(np.abs(rng.randn(M, K)), jnp.float32)
