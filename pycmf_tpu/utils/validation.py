@@ -38,6 +38,18 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     """
     fdt = (jnp.float32 if dtype in (jnp.bfloat16, jnp.float8_e4m3fn,
                                     jnp.float8_e5m2) else dtype)
+    if dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 overflow does NOT saturate cleanly (e4m3 has no inf: values
+        # past ~±448 convert to NaN) — a silent NaN here surfaces as a
+        # confusing diverged-fit error later. Fail loudly at ingest.
+        fmax = float(jnp.finfo(dtype).max)
+        amax = float(abs(A).max() if not sp.issparse(A)
+                     else (abs(A.data).max() if A.nnz else 0.0))
+        if amax > fmax:
+            raise ValueError(
+                f"data max |x| = {amax:.4g} exceeds {jnp.dtype(dtype).name}"
+                f"'s range (±{fmax:.0f}); scale the data (e.g. X / c) or "
+                "use data_dtype='bfloat16'")
 
     def _dense_coupled(Ah):
         sq = Ah.astype(np.float64) ** 2

@@ -108,3 +108,25 @@ class TestEstimatorFp8:
         m = CMF(n_components=4, data_dtype="fp8", sparse_mode="auto",
                 max_iter=5, tol=0.0, random_state=0).fit(X, Y)
         assert m.loss_history_[-1] < m.loss_history_[0]
+
+
+class TestFp8Range:
+    def test_out_of_range_data_rejected(self, rng):
+        from pycmf_tpu.utils.validation import as_coupled
+
+        A = np.abs(rng.randn(16, 16)) + 1.0
+        A[3, 4] = 1000.0  # e4m3 overflow converts to NaN, not saturate
+        with pytest.raises(ValueError, match="range"):
+            as_coupled(A, jnp.float8_e4m3fn)
+        import scipy.sparse as sp
+
+        with pytest.raises(ValueError, match="range"):
+            as_coupled(sp.csr_matrix(A), jnp.float8_e4m3fn,
+                       sparse_mode="dense")
+
+    def test_in_range_data_accepted(self, rng):
+        from pycmf_tpu.utils.validation import as_coupled
+
+        A = np.abs(rng.randn(16, 16))
+        c = as_coupled(A, jnp.float8_e4m3fn)
+        assert c.A.dtype == jnp.float8_e4m3fn
