@@ -283,11 +283,14 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
         rst = np.stack([
             np.asarray(b.multiply(b).sum(axis=0)).ravel() for b in blocks])
     else:
-        Xh_np = np.asarray(jax.device_get(Xd), dtype=np.float64)
-        rs = (Xh_np ** 2).sum(axis=1)
+        # norms from the HOST array: device_get(Xd) would pull the whole
+        # dense matrix back through the device link, and quantized (bf16)
+        # norms would diverge from the single-chip convention (exact norms
+        # from the unquantized input — as_coupled._dense_coupled)
+        rs = np.einsum("ij,ij->i", Xh, Xh)   # Xh is already float64
         rst = np.stack([
-            (Xh_np[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
-            for i in range(d)])
+            np.einsum("ij,ij->j", Xh[i * n_loc:(i + 1) * n_loc],
+                      Xh[i * n_loc:(i + 1) * n_loc]) for i in range(d)])
 
     U_pad = np.zeros((n_pad, U0.shape[1]), dtype=np.float64)
     U_pad[:n] = U0

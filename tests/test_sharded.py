@@ -452,12 +452,25 @@ class TestShardedDataDtype:
 
     def test_newton_bf16_data_sharded_converges(self, rng):
         # Newton's rows-layout aux loss reuses the step's bf16 accumulators
-        # (zero extra data passes), so at this tiny scale the REPORTED loss
-        # carries ~1-2% quantization noise on top of the bf16 fit itself
+        # (zero extra data passes), so at this tiny scale (m=40: no noise
+        # averaging) the REPORTED loss carries ±5% quantization noise —
+        # judge the FIT by the exact f64 loss of the returned factors
         m1, m2, mref = self._pair(rng, "rows", solver="newton", max_iter=8)
         assert m2.loss_history_[-1] < m2.loss_history_[0]
-        assert m2.reconstruction_err_ == pytest.approx(
-            mref.reconstruction_err_, rel=0.05)
+
+        # rebuild the exact data _pair drew first from the fresh seed-42 rng
+        rng2 = np.random.RandomState(42)
+        X, Y = make_problem(rng2, n=67, m=40)
+
+        def true_loss(mm):
+            R = np.asarray(X) - mm.U_ @ mm.V_.T
+            RY = np.asarray(Y) - mm.V_ @ mm.Z_.T
+            return 0.5 * ((R * R).sum() + (RY * RY).sum())
+
+        # different trajectory after 8 unconverged iterations (bf16 re-
+        # quantization of the evolving V flips line-search decisions); the
+        # observed gap is ±2% either side of the f64 reference
+        assert true_loss(m2) == pytest.approx(true_loss(mref), rel=0.05)
 
 
 class TestShardedAutoDensify:
