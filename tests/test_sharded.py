@@ -472,6 +472,21 @@ class TestShardedDataDtype:
         # observed gap is ±2% either side of the f64 reference
         assert true_loss(m2) == pytest.approx(true_loss(mref), rel=0.05)
 
+    def test_csr_bell_bf16_data_matches_segment_sum(self, rng):
+        """bf16 CSR shards through the BlockEll kernels (mixed-dtype dot:
+        bf16 blocks x f64 factor operand) vs the segment-sum path."""
+        X, Y = make_problem(rng, n=67, m=300, sparse=True)
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(300, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", n_shards=8, sparse_mode="csr",
+                  data_dtype="bfloat16")
+        m1 = CMF(use_pallas=True, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(use_pallas=False, **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, m2.U_, rtol=5e-2, atol=1e-3)
+        assert np.allclose(m1.V_, m2.V_, rtol=5e-2, atol=1e-3)
+
 
 class TestShardedAutoDensify:
     def test_sparse_auto_densifies_per_shard_and_matches_csr(self, rng):
