@@ -71,8 +71,9 @@ def main():
     U = jnp.asarray(np.abs(rng.randn(N, K)), jnp.float32)
     V = jnp.asarray(np.abs(rng.randn(M, K)), jnp.float32)
     VtV = V.T @ V
-    rsq = jnp.asarray((Xh.astype(np.float64) ** 2).sum(axis=1),
-                      jnp.float32)
+    # einsum on the f32 array: no ~5.4 GB of f64 temporaries (see the
+    # allocation note above — timing fidelity doesn't need f64 norms)
+    rsq = jnp.asarray(np.einsum("ij,ij->i", Xh, Xh), jnp.float32)
     Hinv = jnp.linalg.inv(VtV + 0.2 * jnp.eye(K, dtype=jnp.float32))
 
     def timeit(name, fn, *args):

@@ -42,7 +42,7 @@ _DTYPES = {
     "float8_e4m3fn": jnp.float8_e4m3fn,
     "fp8": jnp.float8_e4m3fn,
 }
-_FP8 = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+from ..ops.matmul import FP8_DTYPES as _FP8  # noqa: E402 — single policy
 
 
 def _jax_seed(random_state) -> int:
@@ -273,13 +273,17 @@ class CMF(BaseEstimator, TransformerMixin):
                 raise ValueError(
                     "data_dtype='fp8' is not supported with n_shards > 1; "
                     "use data_dtype='bfloat16' for sharded fits")
-            for nm, A in (("X", X), ("Y", Y)):
-                if A is not None and self._stays_sparse(A):
-                    raise ValueError(
-                        f"data_dtype='fp8' requires dense device storage, "
-                        f"but {nm} stays CSR under sparse_mode="
-                        f"{self.sparse_mode!r}; use sparse_mode='dense' "
-                        "(or 'auto' below the densify threshold)")
+            # Only X is stored fp8 (Y is bf16 — see the fit conversion),
+            # and a sigmoid-linked Newton X is force-densified by
+            # _matrix_sparse_mode — so the check follows the ACTUAL
+            # per-matrix storage decision, not the raw sparse_mode.
+            if sp.issparse(X) and self._matrix_sparse_mode(
+                    X, self.x_link) != "dense" and self._stays_sparse(X):
+                raise ValueError(
+                    "data_dtype='fp8' requires dense device storage, but "
+                    f"X stays CSR under sparse_mode={self.sparse_mode!r}; "
+                    "use sparse_mode='dense' (or 'auto' below the densify "
+                    "threshold)")
         if self.solver == "newton":
             # Sigmoid-linked sparse inputs are densified (see
             # _matrix_sparse_mode) — except under the sharded runner, which

@@ -11,6 +11,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Low-precision STORAGE dtypes that contract on the MXU in bf16 (the
+# single shared policy — kernels, validation, and the estimator import it).
+FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
 _PRECISION = jax.lax.Precision.HIGHEST
 
 _NAMES = {
@@ -37,7 +41,7 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
     the MXU in bf16 and accumulation is forced to float32 — the result is
     always float32, never a bf16 accumulate.
     """
-    lows = (jnp.bfloat16, jnp.float8_e4m3fn, jnp.float8_e5m2)
+    lows = (jnp.bfloat16,) + FP8_DTYPES
     if a.dtype in lows or b.dtype in lows:
         # Native single-pass bf16 MXU with f32 accumulation. (HIGHEST would
         # request multi-pass emulation and forfeit the bandwidth win.)

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..matmul import FP8_DTYPES
+
 
 def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
             unew_ref, numvt_ref, gramu_ref,
@@ -56,7 +58,7 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
     eps = scal_ref[0, 2]
 
     x = x_ref[:]                       # (R, m) data dtype
-    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    if x.dtype in FP8_DTYPES:
         # fp8 data path: X is stored at 1 byte/elt (half the HBM traffic of
         # bf16); the MXU contracts in bf16, so upcast the tile in-register.
         # V/factors/accumulators are never quantized below bf16/f32.
@@ -151,8 +153,7 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
     nb = -(-n // row_tile)
     # (k, m), cast ONCE per call. fp8 X contracts in bf16 (the kernel
     # upcasts the tile in-register) — V is never quantized below bf16.
-    vt_dt = (jnp.bfloat16 if X.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
-             else X.dtype)
+    vt_dt = jnp.bfloat16 if X.dtype in FP8_DTYPES else X.dtype
     Vtx = V.T.astype(vt_dt)
     scal = jnp.stack([jnp.asarray(l1, fdtype), jnp.asarray(l2, fdtype),
                       jnp.asarray(eps, fdtype)]).reshape(1, 3)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..matmul import FP8_DTYPES
 from .mu_fused import _TILE_BUDGET_BYTES, _interp, _pick_row_tile
 
 
@@ -48,7 +49,7 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
     l2 = scal_ref[0, 1]
 
     x = x_ref[:]                        # (R, m) data dtype
-    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    if x.dtype in FP8_DTYPES:
         # fp8 data path: upcast the tile in-register; the MXU contracts in
         # bf16 (same policy as mu_fused._kernel).
         x = x.astype(jnp.bfloat16)
@@ -137,8 +138,7 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
     if row_tile is None:
         row_tile = _pick_row_tile(n, m, X.dtype.itemsize)
     nb = -(-n // row_tile)
-    vt_dt = (jnp.bfloat16 if X.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
-             else X.dtype)
+    vt_dt = jnp.bfloat16 if X.dtype in FP8_DTYPES else X.dtype
     Vtx = V.T.astype(vt_dt)
     # (n, 1) column layout: a (row_tile, 1) block satisfies the TPU tiling
     # rule (sublane dim divisible by 8; lane dim equal to the array's).

@@ -14,6 +14,7 @@ import scipy.sparse as sp
 
 from ..ops.links import LINEAR, SIGMOID
 from ..ops.sparse import csr_transpose_host
+from ..ops.matmul import FP8_DTYPES
 from ..solvers.common import Coupled
 
 
@@ -36,9 +37,9 @@ def as_coupled(A, dtype, use_pallas: bool = False,
       'csr'   — always keep CSR (+ tiled layouts when use_pallas).
       'dense' — always densify.
     """
-    fdt = (jnp.float32 if dtype in (jnp.bfloat16, jnp.float8_e4m3fn,
-                                    jnp.float8_e5m2) else dtype)
-    if dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    fdt = (jnp.float32 if dtype in (jnp.bfloat16,) + FP8_DTYPES
+           else dtype)
+    if dtype in FP8_DTYPES:
         # fp8 overflow does NOT saturate cleanly (e4m3 has no inf: values
         # past ~±448 convert to NaN) — a silent NaN here surfaces as a
         # confusing diverged-fit error later. Fail loudly at ingest.

@@ -130,3 +130,26 @@ class TestFp8Range:
         A = np.abs(rng.randn(16, 16))
         c = as_coupled(A, jnp.float8_e4m3fn)
         assert c.A.dtype == jnp.float8_e4m3fn
+
+    def test_fp8_allows_csr_y_and_sigmoid_newton_x(self, rng):
+        """fp8 only governs X's dense storage: a CSR-staying Y (stored
+        bf16) and a Newton-sigmoid sparse X (force-densified) are fine."""
+        import scipy.sparse as sp
+
+        X, Y = make_problem(rng, n=48, m=40)
+        Ys = sp.csr_matrix(np.where(Y > np.median(Y), Y, 0.0))
+        m = CMF(n_components=4, data_dtype="fp8", sparse_mode="csr",
+                max_iter=4, tol=0.0, random_state=0).fit(X, Ys)
+        assert np.isfinite(m.reconstruction_err_)
+
+        Xs = sp.csr_matrix((X > np.median(X)).astype(float))
+        m2 = CMF(n_components=4, solver="newton", x_link="sigmoid",
+                 data_dtype="fp8", sparse_mode="csr", max_iter=3, tol=0.0,
+                 U_non_negative=False, V_non_negative=False,
+                 Z_non_negative=False, random_state=0)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            m2.fit(Xs, Y)
+        assert np.isfinite(m2.reconstruction_err_)
