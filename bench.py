@@ -127,7 +127,10 @@ def main() -> None:
             name = names[dd]
             log(f"tpu {solver}[{name}]: {n_iter} iters, {t:.3f}s, "
                 f"loss {losses[-1]:.6g} (gap {gap:.3%})")
-            if gap <= QUALITY_BAR and (best is None or t < best):
+            if dd != jnp.float8_e4m3fn and gap <= QUALITY_BAR \
+                    and (best is None or t < best):
+                # fp8 (opt-in) is measured and logged but never sets the
+                # headline time — that stays a primary-dtype number
                 best = t
             if dd != jnp.float8_e4m3fn and gap <= QUALITY_BAR:
                 # a PRIMARY dtype (bf16/f32) passed → later ones can only

@@ -153,9 +153,15 @@ class CMF(BaseEstimator, TransformerMixin):
 
     def _resolve_n_shards(self):
         """-1 or 'all' → every visible device; None/int passthrough."""
-        if self.n_shards in (-1, "all"):
+        ns = self.n_shards
+        if isinstance(ns, str):
+            if ns.lower() == "all":
+                return len(jax.devices())
+            raise ValueError(
+                f"n_shards={ns!r} not understood; use an int, -1, or 'all'")
+        if ns == -1:
             return len(jax.devices())
-        return self.n_shards
+        return ns
 
     def _resolve_loop(self):
         """'auto' → fully device-resident tol loop on TPU (one dispatch per

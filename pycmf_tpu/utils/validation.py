@@ -70,6 +70,16 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     nbytes_dense = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
     if mode == "auto":
         mode = "dense" if nbytes_dense <= densify_threshold else "csr"
+    if mode == "csr" and dtype in FP8_DTYPES:
+        # The storage layer owns this rule so fit, transform, and direct
+        # callers all get the clean error (CSR segment ops have no fp8
+        # promotion path; sq_norm at fp8 would silently saturate).
+        raise ValueError(
+            "fp8 data storage requires dense device form, but this matrix "
+            "resolves to CSR (sparse_mode="
+            f"{sparse_mode!r}, dense copy {nbytes_dense / 2**30:.2f} GiB); "
+            "use sparse_mode='dense', shrink the matrix, or "
+            "data_dtype='bfloat16'")
     if mode == "dense":
         # Densify ON DEVICE: upload only the nonzeros (COO triplets) and
         # scatter into device zeros. The host→device link moves ~nnz·9
@@ -86,10 +96,14 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         np.add.at(row_sq, coo.row, sq64)
         col_sq = np.zeros(m)
         np.add.at(col_sq, coo.col, sq64)
-        scat_dt = jnp.float32 if jnp.dtype(dtype) != jnp.float64 \
-            else jnp.float64
+        # scatter AT the storage dtype (duplicates were summed on the
+        # host, so .set is exact) — an f32 intermediate would triple the
+        # transient HBM for bf16 targets near the densify threshold. fp8
+        # scatters via a small f32 detour (fp8 scatter support is
+        # uncertain across backends; fp8 arrays are 4x smaller anyway).
+        scat_dt = jnp.float32 if dtype in FP8_DTYPES else dtype
         Ad = jnp.zeros((n, m), scat_dt).at[
-            jnp.asarray(coo.row), jnp.asarray(coo.col)].add(
+            jnp.asarray(coo.row), jnp.asarray(coo.col)].set(
             jnp.asarray(coo.data, dtype=scat_dt))
         if jnp.dtype(dtype) != jnp.dtype(scat_dt):
             Ad = Ad.astype(dtype)

@@ -153,3 +153,24 @@ class TestFp8Range:
             warnings.simplefilter("ignore", UserWarning)
             m2.fit(Xs, Y)
         assert np.isfinite(m2.reconstruction_err_)
+
+    def test_transform_fp8_csr_raises_cleanly(self, rng):
+        """transform() routes through as_coupled's storage-layer guard:
+        fp8 + CSR-resolving input gets the clean ValueError fit gives,
+        not a TypePromotionError deep in spmm (review finding)."""
+        import scipy.sparse as sp
+
+        X, Y = make_problem(rng, n=48, m=40)
+        m = CMF(n_components=4, data_dtype="fp8", sparse_mode="csr",
+                max_iter=3, tol=0.0, random_state=0).fit(X, Y)
+        with pytest.raises(ValueError, match="dense device form"):
+            m.transform(sp.csr_matrix(X[:10]))
+
+    def test_bad_n_shards_string_raises(self, rng):
+        X, Y = make_problem(rng)
+        with pytest.raises(ValueError, match="n_shards"):
+            CMF(n_components=4, n_shards="All2", max_iter=2).fit(X, Y)
+        # case-insensitive 'all' is accepted
+        m = CMF(n_components=4, n_shards="ALL", max_iter=2, tol=0.0,
+                random_state=0).fit(X, Y)
+        assert np.isfinite(m.reconstruction_err_)

@@ -425,6 +425,7 @@ class TestShardedDataDtype:
 
     def _pair(self, rng, layout, solver="mu", max_iter=20):
         X, Y = make_problem(rng, n=67, m=40)
+        self._XY = (X, Y)
         U0 = np.abs(rng.randn(67, 4))
         V0 = np.abs(rng.randn(40, 4))
         Z0 = np.abs(rng.randn(Y.shape[1], 4))
@@ -458,9 +459,7 @@ class TestShardedDataDtype:
         m1, m2, mref = self._pair(rng, "rows", solver="newton", max_iter=8)
         assert m2.loss_history_[-1] < m2.loss_history_[0]
 
-        # rebuild the exact data _pair drew first from the fresh seed-42 rng
-        rng2 = np.random.RandomState(42)
-        X, Y = make_problem(rng2, n=67, m=40)
+        X, Y = self._XY   # the data _pair fit on
 
         def true_loss(mm):
             R = np.asarray(X) - mm.U_ @ mm.V_.T
