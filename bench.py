@@ -17,6 +17,12 @@ artifact of this container's tunneled device link (~MB/s), not of the
 framework. The TPU side tries data_dtype float32 and bfloat16 and reports
 the fastest variant passing the quality guard.
 
+Repeat protocol (round 3): every CPU baseline is timed 3x (min reported,
+all logged) and every TPU fit 2x after warmup — host-load drift on either
+side must not be able to sink or inflate a recorded round (round 1
+recorded 49.87x off a single noisy draw). Per-solver speedups ship in the
+JSON alongside the geomean.
+
 Env: PYCMF_BENCH_SMALL=1 shrinks the problem for smoke runs.
 """
 from __future__ import annotations
@@ -93,6 +99,20 @@ def main() -> None:
                   loop=loop)
         return runner(*args, **kw)
 
+    def timed_min(fn, repeats):
+        """Run fn() repeats times; return (min seconds, [all], last result).
+
+        The headline must not ride a single draw: both the CPU baseline and
+        the TPU dispatch drift with host load (BASELINE.md measured r01's
+        49.87× as a bad-day artifact of one-shot timing). min is the least
+        noise-inflated estimate of either side's true cost."""
+        times, out = [], None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            times.append(time.perf_counter() - t0)
+        return min(times), times, out
+
     def timed_best(solver, cfg, max_iter, tol, eval_every, ref_loss):
         """Upload once per dtype, warm-compile, time, guard quality."""
         best = None
@@ -119,13 +139,14 @@ def main() -> None:
             # keyed on them, so a different warm shape would push a full
             # remote recompile into the timed region
             solver_run(solver, Xc, Yc, cfg, max_iter, tol, eval_every)
-            t0 = time.perf_counter()
-            out = solver_run(solver, Xc, Yc, cfg, max_iter, tol, eval_every)
-            t = time.perf_counter() - t0
+            t, reps, out = timed_min(
+                lambda: solver_run(solver, Xc, Yc, cfg, max_iter, tol,
+                                   eval_every), 2)
             n_iter, losses = out[3], out[4]
             gap = abs(losses[-1] - ref_loss) / ref_loss
             name = names[dd]
-            log(f"tpu {solver}[{name}]: {n_iter} iters, {t:.3f}s, "
+            log(f"tpu {solver}[{name}]: {n_iter} iters, {t:.3f}s "
+                f"(min of {[round(r, 3) for r in reps]}), "
                 f"loss {losses[-1]:.6g} (gap {gap:.3%})")
             if dd != jnp.float8_e4m3fn and gap <= QUALITY_BAR \
                     and (best is None or t < best):
@@ -146,40 +167,46 @@ def main() -> None:
     # management, so it runs at NumPy's float64 default. The f32 run is
     # logged as the dtype-matched comparison (the TPU side computes in
     # f32/bf16); the headline uses f64.
-    t0 = time.perf_counter()
-    _, _, _, it_np, hist_np = numpy_cmf.run_mu(
-        X.astype(np.float64), Y.astype(np.float64), U0.copy(), V0.copy(),
-        Z0.copy(), max_iter=MAX_ITER, tol=TOL, eval_every=EVAL_EVERY)
-    t_np_mu = time.perf_counter() - t0
-    log(f"numpy MU[f64]: {it_np} iters, {t_np_mu:.3f}s, "
+    t_np_mu, reps_mu, out = timed_min(
+        lambda: numpy_cmf.run_mu(
+            X.astype(np.float64), Y.astype(np.float64), U0.copy(),
+            V0.copy(), Z0.copy(), max_iter=MAX_ITER, tol=TOL,
+            eval_every=EVAL_EVERY), 3)
+    it_np, hist_np = out[3], out[4]
+    log(f"numpy MU[f64]: {it_np} iters, {t_np_mu:.3f}s "
+        f"(min of {[round(r, 3) for r in reps_mu]}), "
         f"loss {hist_np[-1]:.6g}")
-    t0 = time.perf_counter()
-    _, _, _, it32, hist32 = numpy_cmf.run_mu(
-        X.astype(np.float32), Y.astype(np.float32),
-        U0.astype(np.float32), V0.astype(np.float32),
-        Z0.astype(np.float32), max_iter=MAX_ITER, tol=TOL,
-        eval_every=EVAL_EVERY)
-    t_np_mu32 = time.perf_counter() - t0
-    log(f"numpy MU[f32]: {it32} iters, {t_np_mu32:.3f}s, "
+    t_np_mu32, reps32, out = timed_min(
+        lambda: numpy_cmf.run_mu(
+            X.astype(np.float32), Y.astype(np.float32),
+            U0.astype(np.float32), V0.astype(np.float32),
+            Z0.astype(np.float32), max_iter=MAX_ITER, tol=TOL,
+            eval_every=EVAL_EVERY), 3)
+    it32, hist32 = out[3], out[4]
+    log(f"numpy MU[f32]: {it32} iters, {t_np_mu32:.3f}s "
+        f"(min of {[round(r, 3) for r in reps32]}), "
         f"loss {hist32[-1]:.6g} (dtype-matched reference point)")
 
+    mu_vs_f32 = None
     cfg_mu = SolverConfig(use_pallas=(backend == "tpu"))
     best = timed_best("mu", cfg_mu, MAX_ITER, TOL, EVAL_EVERY, hist_np[-1])
     if best is not None:
         speedups["mu"] = t_np_mu / best
-        log(f"mu vs f32 baseline: {t_np_mu32 / best:.2f}x")
+        mu_vs_f32 = t_np_mu32 / best
+        log(f"mu vs f32 baseline: {mu_vs_f32:.2f}x")
     else:
         log("MU quality guard failed for all dtypes")
 
     # ---- Newton (sigmoid-linked labels, same data) ------------------------
-    t0 = time.perf_counter()
-    _, _, _, it_nn, hist_nn = numpy_cmf.run_newton(
-        X.astype(np.float64), Y.astype(np.float64), U0.copy(), V0.copy(),
-        Z0.copy(), max_iter=NEWTON_MAX_ITER, tol=NEWTON_TOL,
-        eval_every=NEWTON_EVAL, y_link="sigmoid",
-        non_negative=(True, True, True))
-    t_np_nt = time.perf_counter() - t0
-    log(f"numpy Newton: {it_nn} iters, {t_np_nt:.3f}s, "
+    t_np_nt, reps_nt, out = timed_min(
+        lambda: numpy_cmf.run_newton(
+            X.astype(np.float64), Y.astype(np.float64), U0.copy(),
+            V0.copy(), Z0.copy(), max_iter=NEWTON_MAX_ITER, tol=NEWTON_TOL,
+            eval_every=NEWTON_EVAL, y_link="sigmoid",
+            non_negative=(True, True, True)), 3)
+    it_nn, hist_nn = out[3], out[4]
+    log(f"numpy Newton: {it_nn} iters, {t_np_nt:.3f}s "
+        f"(min of {[round(r, 3) for r in reps_nt]}), "
         f"loss {hist_nn[-1]:.6g}")
 
     cfg_nt = SolverConfig(y_link="sigmoid",
@@ -199,12 +226,19 @@ def main() -> None:
 
     log(f"speedups: { {k: round(v, 2) for k, v in speedups.items()} }")
     geo = float(np.exp(np.mean(np.log(list(speedups.values())))))
-    print(json.dumps({
+    rec = {
         "metric": "20ng_mu_newton_time_to_tol_speedup_geomean",
         "value": round(geo, 3),
         "unit": "x",
         "vs_baseline": round(geo, 3),
-    }))
+        # per-solver floors + repeat protocol (headline must not ride a
+        # single draw): CPU baselines are min-of-3, TPU times min-of-2
+        "mu_x": round(speedups.get("mu", 0.0), 2),
+        "newton_x": round(speedups.get("newton", 0.0), 2),
+        "mu_vs_f32_x": round(mu_vs_f32, 2) if mu_vs_f32 else None,
+        "protocol": "cpu=min-of-3, tpu=min-of-2 (warmed)",
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -152,16 +152,26 @@ class CMF(BaseEstimator, TransformerMixin):
     # -- internals --------------------------------------------------------
 
     def _resolve_n_shards(self):
-        """-1 or 'all' → every visible device; None/int passthrough."""
+        """-1 or 'all' → every visible device; None/positive-int passthrough.
+
+        Any other value raises: a typo like n_shards=0 must not silently
+        fall back to a single-chip fit."""
         ns = self.n_shards
+        if ns is None:
+            return None
         if isinstance(ns, str):
             if ns.lower() == "all":
                 return len(jax.devices())
             raise ValueError(
                 f"n_shards={ns!r} not understood; use an int, -1, or 'all'")
-        if ns == -1:
-            return len(jax.devices())
-        return ns
+        if isinstance(ns, (int, np.integer)) and not isinstance(ns, bool):
+            if ns == -1:
+                return len(jax.devices())
+            if ns >= 1:
+                return int(ns)
+        raise ValueError(
+            f"n_shards={ns!r} not understood; use a positive int, -1, "
+            "'all', or None")
 
     def _resolve_loop(self):
         """'auto' → fully device-resident tol loop on TPU (one dispatch per
@@ -405,7 +415,15 @@ class CMF(BaseEstimator, TransformerMixin):
 
     def transform(self, X, U=None):
         """Fold-in: solve for U on new rows of X holding the fitted V fixed
-        (SURVEY.md §3.3: same solver machinery with V, Z frozen)."""
+        (SURVEY.md §3.3: same solver machinery with V, Z frozen).
+
+        With ``n_shards > 1`` the fold-in itself is sharded: X's new rows
+        are row-sharded over the mesh with V replicated (U's update is
+        row-local, so the only collectives are the loss psums) — a
+        pod-scale fit can fold in pod-scale X without a single-chip OOM.
+        The rows layout is used regardless of the fit-time ``shard_layout``
+        because transform's natural axis is always the new-row axis.
+        """
         if not hasattr(self, "V_"):
             raise RuntimeError("transform called before fit")
         mu = self.solver == "mu"
@@ -432,12 +450,6 @@ class CMF(BaseEstimator, TransformerMixin):
         else:
             U0 = np.asarray(U, dtype=np.float64)
 
-        Xc = as_coupled(X, self._resolve_data_dtype(),
-                        use_pallas=self._resolve_use_pallas(),
-                        sparse_mode=self._matrix_sparse_mode(X, self.x_link))
-        V0 = jnp.asarray(self.V_, dtype=dt)
-        U0 = jnp.asarray(U0, dtype=dt)
-        Z0 = jnp.zeros((0, k), dtype=dt)
         cfg = self._config(has_Y=False, update_U=True, update_V=False,
                            update_Z=False)
         hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
@@ -446,6 +458,29 @@ class CMF(BaseEstimator, TransformerMixin):
         kw = dict(max_iter=self.max_iter, tol=self.tol,
                   eval_every=self.eval_every, verbose=self.verbose,
                   loop=self._resolve_loop())
+
+        n_shards = self._resolve_n_shards()
+        if n_shards is not None and n_shards > 1:
+            from ..parallel.sharded import run_sharded
+
+            ddt = self._resolve_data_dtype()
+            if ddt in _FP8:
+                raise ValueError(
+                    "data_dtype='fp8' is not supported with n_shards > 1; "
+                    "use data_dtype='bfloat16' for sharded transforms")
+            Uf, _, _, _, _, _, _ = run_sharded(
+                self.solver, X, None, np.asarray(U0, dtype=np.float64),
+                self.V_, None, cfg, hyper, rng, n_shards=n_shards,
+                layout="rows", dtype=dt, sparse_mode=self.sparse_mode,
+                data_dtype=None if ddt == dt else ddt, **kw)
+            return np.asarray(jax.device_get(Uf), dtype=np.float64)
+
+        Xc = as_coupled(X, self._resolve_data_dtype(),
+                        use_pallas=self._resolve_use_pallas(),
+                        sparse_mode=self._matrix_sparse_mode(X, self.x_link))
+        V0 = jnp.asarray(self.V_, dtype=dt)
+        U0 = jnp.asarray(U0, dtype=dt)
+        Z0 = jnp.zeros((0, k), dtype=dt)
         if self.solver == "mu":
             Uf, _, _, _, _, _, _ = run_mu(Xc, None, U0, V0, Z0, cfg, hyper,
                                           **kw)

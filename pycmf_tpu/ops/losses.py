@@ -75,6 +75,35 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
     return 0.5 * (a_sq - 2.0 * inner + cross)
 
 
+def streamed_inner(A, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """⟨A, M Bᵀ⟩ = Σ((A @ B) ⊙ M) at factor precision for dense A.
+
+    Mixed precision (bf16/fp8-stored A, f32 factors) upcasts A in row
+    blocks inside a scan so only one block's f32 copy is ever live —
+    ``A.astype(f32)`` would transiently hold the whole matrix at 2-4× its
+    storage size in HBM (shards sized to fit because of
+    data_dtype='bfloat16' could OOM at loss-eval time).
+    """
+    p, q = A.shape
+    if A.dtype == M.dtype or p * q <= _BLOCK_ELEMS:
+        Af = A.astype(M.dtype) if A.dtype != M.dtype else A
+        return jnp.sum(matmul(Af, B) * M)
+    bs = max(1, _BLOCK_ELEMS // q)
+    nb = -(-p // bs)
+    pad = nb * bs - p
+    Ap = jnp.pad(A, ((0, pad), (0, 0)))
+    Mp = jnp.pad(M, ((0, pad), (0, 0)))
+
+    def body(carry, inp):
+        Ab, Mb = inp
+        return carry + jnp.sum(matmul(Ab.astype(Mb.dtype), B) * Mb), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((), M.dtype),
+        (Ap.reshape(nb, bs, -1), Mp.reshape(nb, bs, -1)))
+    return total
+
+
 def _linear_term_direct(A, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """½‖A − M Bᵀ‖² by direct streamed residual (dense A, any dtype)."""
     p, q = A.shape

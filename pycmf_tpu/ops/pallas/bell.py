@@ -79,12 +79,17 @@ class BlockEll:
 
 def bell_from_scipy(A, dtype=jnp.float32, *,
                     max_bytes: Optional[int] = None,
-                    min_fill: float = 0.0) -> Optional[BlockEll]:
+                    min_fill: float = 0.0,
+                    return_numpy: bool = False) -> Optional[BlockEll]:
     """Convert a scipy.sparse matrix to BlockEll (host, once per fit).
 
     Returns None (caller falls back) when the block layout would exceed
     ``max_bytes`` or fill below ``min_fill`` — i.e. the sparsity is too
     scattered for dense sub-blocks to pay off.
+
+    return_numpy: keep the arrays on the host (numpy) — for callers that
+    post-process the layout (e.g. the sharded runner stacks per-shard
+    layouts) before uploading ONCE; the default uploads to device.
     """
     import scipy.sparse as sp
 
@@ -117,10 +122,15 @@ def bell_from_scipy(A, dtype=jnp.float32, *,
     blocks = np.zeros((nb, R, C), dtype=np.float64)
     slot = np.searchsorted(uniq, keys)
     blocks[slot, coo.row % R, coo.col % C] = coo.data
+    brows = (uniq // ncb).astype(np.int32)
+    bcols = (uniq % ncb).astype(np.int32)
+    if return_numpy:
+        return BlockEll(blocks.astype(jnp.dtype(dtype)), brows, bcols,
+                        (p, q), fill)
     return BlockEll(
         jnp.asarray(blocks, dtype=dtype),
-        jnp.asarray((uniq // ncb).astype(np.int32)),
-        jnp.asarray((uniq % ncb).astype(np.int32)),
+        jnp.asarray(brows),
+        jnp.asarray(bcols),
         (p, q), fill)
 
 

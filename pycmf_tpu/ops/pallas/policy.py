@@ -13,6 +13,13 @@ measurements on the target chip (docs/PERFORMANCE.md):
 - spmm_tiled      : OFF — the per-nonzero scalar-gather loop is unsafe at
   scale on the current Mosaic toolchain (multi-minute stalls).
 
+The two OFF kernels (ops/pallas/mu_update.py, ops/pallas/spmm.py) ship in
+the package deliberately: they are the interpreter-mode oracles the test
+suite runs against on every backend, the documented negative results that
+justify the current ON set (docs/PERFORMANCE.md), and the escape hatch if
+a future Mosaic toolchain changes the trade-off (flip the env var to
+re-measure without a code change).
+
 Off-TPU every kernel is enabled: tests run them in interpreter mode against
 the jnp oracles. Each kernel can be forced either way with
 ``PYCMF_TPU_KERNEL_<NAME>=0|1``.

@@ -12,7 +12,8 @@ inside shard_map). Two layouts, per SURVEY.md §7 stage 6:
   chips with shared-V all-reduce over ICI").
 - layout "cols" (B): shard the coupled dimension m — X col-sharded,
   Y row-sharded, V co-sharded, U/Z replicated; psums move to U's and Z's
-  update terms. For problems whose shared dimension dwarfs n. (MU only.)
+  update terms (MU: X·V and VᵀV; Newton: stacked g/H/φ — _newton_cols_iter).
+  For problems whose shared dimension dwarfs n.
 
 Sparse CSR data is pre-split on the host into per-device CSR blocks whose
 nonzero arrays are padded to a common length (static shapes on every chip);
@@ -140,7 +141,11 @@ def _stack_bell_blocks(blocks, dtype, max_bytes):
 
     bells = []
     for b in blocks:
-        bl = bell_from_scipy(b, dtype=dtype, max_bytes=max_bytes)
+        # return_numpy: stack on the host and upload ONCE — a device
+        # round-trip per shard would double the upload traffic through the
+        # slow device link for large block layouts.
+        bl = bell_from_scipy(b, dtype=dtype, max_bytes=max_bytes,
+                             return_numpy=True)
         if bl is None:
             return None
         bells.append(bl)
@@ -151,11 +156,9 @@ def _stack_bell_blocks(blocks, dtype, max_bytes):
     blk, br, bc = [], [], []
     for b in bells:
         pad = nb - b.blocks.shape[0]
-        blk.append(np.pad(np.asarray(jax.device_get(b.blocks)),
-                          ((0, pad), (0, 0), (0, 0))))
-        br.append(np.pad(np.asarray(jax.device_get(b.brows)), (0, pad),
-                         constant_values=nrb - 1))
-        bc.append(np.pad(np.asarray(jax.device_get(b.bcols)), (0, pad)))
+        blk.append(np.pad(b.blocks, ((0, pad), (0, 0), (0, 0))))
+        br.append(np.pad(b.brows, (0, pad), constant_values=nrb - 1))
+        bc.append(np.pad(b.bcols, (0, pad)))
     fill = float(np.mean([b.fill for b in bells]))
     return BlockEll(jnp.asarray(np.stack(blk), dtype=dtype),
                     jnp.asarray(np.stack(br)), jnp.asarray(np.stack(bc)),
@@ -421,9 +424,12 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
             # exact fit-time norms (f32/f64) — summing bf16/fp8 squares at
             # data precision would bias the loss — and a factor-precision
             # inner: the factored identity cancels large terms, so the bf16
-            # matmul path's quantization of V would bias the result
+            # matmul path's quantization of V would bias the result.
+            # streamed_inner upcasts X block-wise (no whole-shard f32 copy).
+            from ..ops.losses import streamed_inner
+
             a_sq = jnp.sum(ops.row_sq)
-            inner = jnp.sum(matmul(ops.X.astype(V.dtype), V) * U)
+            inner = streamed_inner(ops.X, U, V)
         gU = jax.lax.psum(gram(U), AXIS)
         part = jax.lax.psum(a_sq - 2.0 * inner, AXIS)
         x_term = 0.5 * (part + jnp.sum(gU * gram(V)))
@@ -636,6 +642,9 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
     Yd = ops.Y
     sparse_x = is_sparse(ops.X)
     Xl, Xtl, _, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
+    # One psummed Gram serves both linear terms (x- and y-branch).
+    need_gv = cfg.x_link == LINEAR or (cfg.has_Y and cfg.y_link == LINEAR)
+    gV = jax.lax.psum(gram(V), AXIS) if need_gv else None
     if cfg.x_link == LINEAR:
         if sparse_x:
             a_sq = Xl.sq_norm
@@ -646,10 +655,11 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
             else:
                 inner = jnp.sum(spmm(Xtl, U) * V)
         else:
+            from ..ops.losses import streamed_inner
+
             a_sq = jnp.sum(ops.row_sq_t[0])   # exact fit-time norms
-            # factor-precision inner (see _loss_rows)
-            inner = jnp.sum(matmul(Xtl.astype(U.dtype), U) * V)
-        gV = jax.lax.psum(gram(V), AXIS)
+            # factor-precision inner (see _loss_rows), block-streamed
+            inner = streamed_inner(Xtl, V, U)
         x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
                         + jnp.sum(gram(U) * gV))
     else:
@@ -662,7 +672,6 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
     if cfg.has_Y:
         Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
         if cfg.y_link == LINEAR:
-            gV = jax.lax.psum(gram(V), AXIS)
             y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
             y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), AXIS)
             y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))

@@ -1,0 +1,90 @@
+"""Round-3 regression tests: advisor findings + verdict weak items.
+
+Covers (ADVICE.md round 2):
+- n_shards validation rejects silent-disable typos (0, -2, floats, bools)
+- bell_from_scipy(return_numpy=True) stays on the host
+- streamed_inner matches the direct upcast inner product
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pycmf_tpu import CMF
+
+
+class TestNShardsValidation:
+    @pytest.mark.parametrize("bad", [0, -2, 2.5, True, False, "some"])
+    def test_invalid_raises(self, bad):
+        with pytest.raises(ValueError, match="n_shards"):
+            CMF(n_components=2, n_shards=bad)._resolve_n_shards()
+
+    def test_valid_passthrough(self):
+        assert CMF(n_components=2)._resolve_n_shards() is None
+        assert CMF(n_components=2, n_shards=4)._resolve_n_shards() == 4
+        assert CMF(n_components=2, n_shards=np.int64(3)
+                   )._resolve_n_shards() == 3
+
+    def test_all_and_minus_one(self):
+        import jax
+
+        nd = len(jax.devices())
+        assert CMF(n_components=2, n_shards=-1)._resolve_n_shards() == nd
+        assert CMF(n_components=2, n_shards="all")._resolve_n_shards() == nd
+
+
+class TestHostSideBell:
+    def test_return_numpy_stays_on_host(self):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy
+
+        rng = np.random.RandomState(0)
+        A = sp.random(300, 260, density=0.05, random_state=rng,
+                      format="csr")
+        host = bell_from_scipy(A, dtype=jnp.float32, return_numpy=True)
+        dev = bell_from_scipy(A, dtype=jnp.float32)
+        assert isinstance(host.blocks, np.ndarray)
+        assert isinstance(host.brows, np.ndarray)
+        np.testing.assert_array_equal(host.brows, np.asarray(dev.brows))
+        np.testing.assert_array_equal(host.bcols, np.asarray(dev.bcols))
+        np.testing.assert_allclose(host.blocks, np.asarray(dev.blocks),
+                                   rtol=0, atol=0)
+
+    def test_return_numpy_bf16(self):
+        from pycmf_tpu.ops.pallas.bell import bell_from_scipy
+
+        rng = np.random.RandomState(1)
+        A = sp.random(200, 200, density=0.1, random_state=rng, format="csr")
+        host = bell_from_scipy(A, dtype=jnp.bfloat16, return_numpy=True)
+        assert host.blocks.dtype == jnp.bfloat16
+        dev_up = jnp.asarray(host.blocks)
+        assert dev_up.dtype == jnp.bfloat16
+
+
+class TestStreamedInner:
+    @pytest.mark.parametrize("data_dt", [jnp.float32, jnp.bfloat16])
+    def test_matches_direct(self, data_dt):
+        from pycmf_tpu.ops.losses import streamed_inner
+
+        rng = np.random.RandomState(2)
+        A = rng.rand(70, 50)
+        M = rng.rand(70, 6).astype(np.float32)
+        B = rng.rand(50, 6).astype(np.float32)
+        Ad = jnp.asarray(A, data_dt)
+        got = float(streamed_inner(Ad, jnp.asarray(M), jnp.asarray(B)))
+        want = float(np.sum((np.asarray(Ad.astype(jnp.float32)) @ B) * M))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_streams_when_large(self, monkeypatch):
+        """Force the scan path and check it equals the one-shot path."""
+        from pycmf_tpu.ops import losses
+
+        rng = np.random.RandomState(3)
+        A = jnp.asarray(rng.rand(64, 40), jnp.bfloat16)
+        M = jnp.asarray(rng.rand(64, 4), jnp.float32)
+        B = jnp.asarray(rng.rand(40, 4), jnp.float32)
+        whole = float(losses.streamed_inner(A, M, B))
+        monkeypatch.setattr(losses, "_BLOCK_ELEMS", 40 * 16)
+        blocked = float(losses.streamed_inner(A, M, B))
+        np.testing.assert_allclose(blocked, whole, rtol=1e-5)

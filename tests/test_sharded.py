@@ -520,3 +520,64 @@ class TestNShardsAll:
         m3 = CMF(n_shards="all", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
         assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
         assert np.allclose(m1.U_, m3.U_, rtol=1e-12)
+
+
+class TestShardedTransform:
+    """transform(n_shards>1) routes through the sharded runner (rows
+    layout: new X rows + U sharded, V replicated) and must match the
+    single-device fold-in exactly — same math, psum-reduced loss."""
+
+    def _fitted(self, rng, solver="mu", **kw):
+        X, Y = make_problem(rng, n=40, m=32)
+        U0 = np.abs(rng.randn(40, 4))
+        V0 = np.abs(rng.randn(32, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        m = CMF(n_components=4, solver=solver, max_iter=10, tol=0.0,
+                dtype="float64", random_state=0, **kw)
+        m.fit(X, Y, U=U0, V=V0, Z=Z0)
+        return m
+
+    def test_mu_dense_matches_single_device(self, rng):
+        m = self._fitted(rng)
+        Xn = np.abs(rng.randn(67, 32))  # 67 not divisible by 8
+        U_single = m.transform(Xn)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn)
+        assert U_sharded.shape == (67, 4)
+        assert np.allclose(U_single, U_sharded, rtol=1e-8, atol=1e-10)
+
+    def test_mu_sparse_matches_single_device(self, rng):
+        import scipy.sparse as sp
+
+        m = self._fitted(rng, sparse_mode="csr")
+        Xn = sp.csr_matrix(np.abs(rng.randn(67, 32))
+                           * (rng.rand(67, 32) > 0.6))
+        U_single = m.transform(Xn)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn)
+        assert np.allclose(U_single, U_sharded, rtol=1e-8, atol=1e-10)
+
+    def test_newton_matches_single_device(self, rng):
+        m = self._fitted(rng, solver="newton")
+        Xn = np.abs(rng.randn(19, 32))  # fewer rows than 8 shards x 3
+        U_single = m.transform(Xn)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn)
+        assert np.allclose(U_single, U_sharded, rtol=1e-7, atol=1e-9)
+
+    def test_external_U0_respected(self, rng):
+        m = self._fitted(rng)
+        Xn = np.abs(rng.randn(24, 32))
+        U0 = np.abs(rng.randn(24, 4))
+        U_single = m.transform(Xn, U=U0)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn, U=U0)
+        assert np.allclose(U_single, U_sharded, rtol=1e-8, atol=1e-10)
+
+    def test_fp8_sharded_transform_raises(self, rng):
+        m = self._fitted(rng)
+        m.n_shards = 8
+        m.dtype = "float32"
+        m.data_dtype = "fp8"
+        with pytest.raises(ValueError, match="fp8"):
+            m.transform(np.abs(rng.randn(24, 32)))
