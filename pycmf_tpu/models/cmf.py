@@ -93,8 +93,11 @@ class CMF(BaseEstimator, TransformerMixin):
         fit; auto-selected on TPU). verbose printing needs loop='host'.
     use_pallas : None (auto: on for TPU) | bool — route hot ops through the
         Pallas kernels where reliable (see docs/PERFORMANCE.md).
-    sparse_mode : 'auto' (densify sparse input when the dense copy fits
-        ~2 GB — the fast TPU path) | 'csr' | 'dense'.
+    sparse_mode : 'auto' (densify sparse input when the dense copy AT THE
+        STORAGE DTYPE fits ~2 GB — the fast TPU path; above that, MU
+        streams row chunks through a reused dense buffer, ops/chunked.py)
+        | 'csr' | 'dense' | 'chunked' (force the streaming layout; MU
+        single-chip only).
     hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
     line_search_trials : backtracking halvings (0 = full Newton step).
     n_shards : row-shard data over this many devices (None = single-chip;
@@ -152,7 +155,8 @@ class CMF(BaseEstimator, TransformerMixin):
     # -- internals --------------------------------------------------------
 
     def _resolve_n_shards(self):
-        """-1 or 'all' → every visible device; None/positive-int passthrough.
+        """-1 or 'all' → every visible device; None/positive-int
+        passthrough; a (rows, cols) tuple (grid layout) → its product.
 
         Any other value raises: a typo like n_shards=0 must not silently
         fall back to a single-chip fit."""
@@ -164,6 +168,18 @@ class CMF(BaseEstimator, TransformerMixin):
                 return len(jax.devices())
             raise ValueError(
                 f"n_shards={ns!r} not understood; use an int, -1, or 'all'")
+        if isinstance(ns, (tuple, list)):
+            if (len(ns) == 2 and all(
+                    isinstance(v, (int, np.integer))
+                    and not isinstance(v, bool) and v >= 1 for v in ns)):
+                if self.shard_layout != "grid":
+                    raise ValueError(
+                        "a (rows, cols) n_shards tuple requires "
+                        "shard_layout='grid'")
+                return int(ns[0]) * int(ns[1])
+            raise ValueError(
+                f"n_shards={ns!r} not understood; a tuple must be two "
+                "positive ints (rows, cols) with shard_layout='grid'")
         if isinstance(ns, (int, np.integer)) and not isinstance(ns, bool):
             if ns == -1:
                 return len(jax.devices())
@@ -171,7 +187,16 @@ class CMF(BaseEstimator, TransformerMixin):
                 return int(ns)
         raise ValueError(
             f"n_shards={ns!r} not understood; use a positive int, -1, "
-            "'all', or None")
+            "'all', a (rows, cols) tuple, or None")
+
+    def _resolve_grid(self):
+        """(rows, cols) mesh shape for shard_layout='grid'."""
+        from ..parallel.grid import factor_grid
+
+        ns = self.n_shards
+        if isinstance(ns, (tuple, list)):
+            return int(ns[0]), int(ns[1])
+        return factor_grid(self._resolve_n_shards())
 
     def _resolve_loop(self):
         """'auto' → fully device-resident tol loop on TPU (one dispatch per
@@ -251,8 +276,15 @@ class CMF(BaseEstimator, TransformerMixin):
             return "dense"
         return self.sparse_mode
 
+    def _chunked_ok(self) -> bool:
+        """The streaming chunked-COO layout is the MU fast path; Newton's
+        per-row terms consume CSR/dense/BlockEll operands only."""
+        return self.solver == "mu"
+
     def _stays_sparse(self, A) -> bool:
-        """Will this host matrix remain CSR on device under current params?"""
+        """Will this host matrix remain CSR/chunked on device (i.e. NOT a
+        dense device array) under the current params? Mirrors as_coupled's
+        storage-byte threshold."""
         if not sp.issparse(A):
             return False
         ns = self._resolve_n_shards()
@@ -260,12 +292,13 @@ class CMF(BaseEstimator, TransformerMixin):
             return True  # the sharded runner keeps sparse inputs CSR
         if self.sparse_mode == "dense":
             return False
-        if self.sparse_mode == "csr":
+        if self.sparse_mode in ("csr", "chunked"):
             return True
         from ..utils.validation import DENSIFY_THRESHOLD
 
-        nbytes = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
-        return nbytes > DENSIFY_THRESHOLD
+        ddt = self._resolve_data_dtype()
+        item = 4 if ddt in _FP8 else jnp.dtype(ddt).itemsize
+        return A.shape[0] * A.shape[1] * item > DENSIFY_THRESHOLD
 
     def _validate(self, X, Y):
         validate_cmf_params(
@@ -280,6 +313,19 @@ class CMF(BaseEstimator, TransformerMixin):
         X = check_matrix(X, "X", require_non_negative=mu)
         if Y is not None:
             Y = check_matrix(Y, "Y", require_non_negative=mu)
+        if self.sparse_mode == "chunked":
+            if self.solver != "mu":
+                raise ValueError(
+                    "sparse_mode='chunked' is the MU streaming path; "
+                    "Newton's per-row terms consume CSR/dense operands — "
+                    "use sparse_mode='csr'/'dense' or n_shards to row-"
+                    "shard")
+            ns = self._resolve_n_shards()
+            if ns is not None and ns > 1:
+                raise ValueError(
+                    "sparse_mode='chunked' is the SINGLE-chip streaming "
+                    "path; the sharded runner densifies or keeps CSR per "
+                    "shard — use sparse_mode='auto' with n_shards")
         if self._resolve_data_dtype() in _FP8:
             # fp8 is the dense fused-kernel fast path only: CSR segment ops
             # and the sharded runner's per-shard layouts stay bf16/f32.
@@ -360,7 +406,24 @@ class CMF(BaseEstimator, TransformerMixin):
         rng = jax.random.PRNGKey(_jax_seed(self.random_state))
 
         n_shards = self._resolve_n_shards()
-        if n_shards is not None and n_shards > 1:
+        if n_shards is not None and n_shards > 1 \
+                and self.shard_layout == "grid":
+            # 2-D grid layout: X sharded over BOTH axes (jointly huge
+            # n and m); MU/linear only — parallel/grid.py.
+            from ..parallel.grid import run_grid
+
+            if self.solver != "mu":
+                raise ValueError(
+                    "shard_layout='grid' currently supports solver='mu'; "
+                    "use shard_layout='rows'/'cols' for Newton")
+            hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
+                               self.hessian_pertubation, dtype=dt)
+            Uf, Vf, Zf, n_iter, losses, iters, times = run_grid(
+                X, Y, U0, V0, Z0, self._config(has_Y=Y is not None),
+                hyper, grid=self._resolve_grid(), dtype=dt,
+                max_iter=self.max_iter, tol=self.tol,
+                eval_every=self.eval_every, verbose=self.verbose)
+        elif n_shards is not None and n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
             # (SURVEY.md §7 stage 6), so hand over host matrices directly.
             from ..parallel.sharded import run_sharded
@@ -384,7 +447,8 @@ class CMF(BaseEstimator, TransformerMixin):
             ydt = jnp.bfloat16 if ddt in _FP8 else ddt
             Xc = as_coupled(X, ddt, use_pallas=up,
                             sparse_mode=self._matrix_sparse_mode(
-                                X, self.x_link))
+                                X, self.x_link),
+                            chunked_ok=self._chunked_ok())
             Yc = (as_coupled(Y, ydt, use_pallas=up,
                              sparse_mode=self._matrix_sparse_mode(
                                  Y, self.y_link))
@@ -477,7 +541,8 @@ class CMF(BaseEstimator, TransformerMixin):
 
         Xc = as_coupled(X, self._resolve_data_dtype(),
                         use_pallas=self._resolve_use_pallas(),
-                        sparse_mode=self._matrix_sparse_mode(X, self.x_link))
+                        sparse_mode=self._matrix_sparse_mode(X, self.x_link),
+                        chunked_ok=self._chunked_ok())
         V0 = jnp.asarray(self.V_, dtype=dt)
         U0 = jnp.asarray(U0, dtype=dt)
         Z0 = jnp.zeros((0, k), dtype=dt)

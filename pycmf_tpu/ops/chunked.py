@@ -1,0 +1,240 @@
+"""Streaming chunked-densify sparse path — single-chip X beyond the
+densify threshold.
+
+The sparse decision tree (docs/PERFORMANCE.md) previously ended, for a
+single chip, at "scattered sparsity too big to densify → segment-sum CSR"
+— a per-nonzero gather path measured at ~0.05 Gnnz/s on TPU (79× slower
+than the BlockEll MXU layout, which only helps block-STRUCTURED sparsity).
+This module closes that hole (round-2 VERDICT item 1):
+
+- At fit time the COO nonzeros are sorted by row and split into C chunks
+  of R rows each (R chosen so the R×m dense buffer is ~256 MB), padded to
+  a common per-chunk nnz L with (row 0, col 0, value 0) entries — a
+  scatter-ADD of zero is an exact no-op, so padding needs no masking.
+- Each solver iteration runs ONE `lax.scan` over the chunks: scatter the
+  chunk's nonzeros into a zeroed (R, m) buffer (O(nnz) scalar scatters —
+  not the O(nnz·k) gather+segment traffic of segment-sum SpMM), then do
+  the dense MXU math on the materialized chunk. The buffer is reused by
+  XLA across scan steps, so peak HBM is the COO arrays (~10 bytes/nnz)
+  plus ONE chunk — X's dense equivalent never exists on the device.
+- For MU, `chunked_mu_u_pass` streams X once per iteration and emits
+  U_new plus V's X-side numerator/Gram (exactly the fused-kernel aux
+  contract, solvers/mu.py), so the loss/tol check costs no extra pass.
+
+This is the TPU-shaped answer to the reference's scipy-CSR path
+(SURVEY.md §2 component 3 "handles sparse X via spmm in the numerator"):
+same math, but the irregular work is one scatter per nonzero and ALL
+FLOPs land on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .matmul import matmul
+
+# Target size for the reusable dense chunk buffer. 256 MB keeps the
+# scatter/compute pipeline deep (many chunks) while each chunk's matmuls
+# are still far past the MXU's efficiency knee at CMF ranks.
+DEFAULT_BUFFER_BYTES = 256 << 20
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ChunkedCoo:
+    """Row-chunked COO matrix (static shapes).
+
+    data    : (C, L) values (storage dtype; bf16 halves HBM traffic)
+    cols    : (C, L) int32 column indices
+    rows    : (C, L) int32 row index WITHIN the chunk (0..R-1)
+    sq_norm : ()     Σ data² (float32 — feeds loss accumulations)
+    shape   : static logical (n, m)
+    chunk_rows : static R — rows per chunk; C·R ≥ n
+    """
+
+    data: jnp.ndarray
+    cols: jnp.ndarray
+    rows: jnp.ndarray
+    sq_norm: jnp.ndarray
+    shape: Tuple[int, int]
+    chunk_rows: int
+
+    def tree_flatten(self):
+        return ((self.data, self.cols, self.rows, self.sq_norm),
+                (self.shape, self.chunk_rows))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        data, cols, rows, sq_norm = leaves
+        return cls(data, cols, rows, sq_norm, aux[0], aux[1])
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0] * self.data.shape[1])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_chunks * self.chunk_rows
+
+
+def is_chunked(A) -> bool:
+    return isinstance(A, ChunkedCoo)
+
+
+def pick_chunk_rows(n: int, m: int,
+                    buffer_bytes: int = DEFAULT_BUFFER_BYTES) -> int:
+    """Rows per chunk: the largest multiple of 128 (MXU/lane tile) whose
+    (R, m) f32 buffer fits ``buffer_bytes``; floor 8 (f32 sublane)."""
+    r = buffer_bytes // max(1, m * 4)
+    if r >= 128:
+        r = (r // 128) * 128
+        n_up = -(-n // 128) * 128   # cap at n rounded UP (keeps tiling)
+    else:
+        r = max(8, (r // 8) * 8)
+        n_up = -(-n // 8) * 8
+    return int(min(r, n_up))
+
+
+def chunked_from_scipy(A, dtype=jnp.float32, *,
+                       chunk_rows: int | None = None,
+                       buffer_bytes: int = DEFAULT_BUFFER_BYTES
+                       ) -> ChunkedCoo:
+    """Build a ChunkedCoo from a scipy.sparse matrix (host, once per fit).
+
+    Device upload is the COO triplets only (~10 bytes/nnz) — the dense
+    form never crosses the host↔device link nor exists in HBM.
+    """
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix(A)
+    A.sum_duplicates()
+    n, m = A.shape
+    R = chunk_rows if chunk_rows is not None else pick_chunk_rows(
+        n, m, buffer_bytes)
+    C = -(-n // R)
+    order = np.argsort(A.row, kind="stable")
+    rows = A.row[order].astype(np.int64)
+    cols = A.col[order].astype(np.int32)
+    vals = A.data[order]
+    counts = np.bincount(rows // R, minlength=C)
+    L = max(1, int(counts.max()))
+    d = np.zeros((C, L), dtype=np.float64)
+    cc = np.zeros((C, L), dtype=np.int32)
+    rl = np.zeros((C, L), dtype=np.int32)
+    start = np.zeros(C + 1, dtype=np.int64)
+    np.cumsum(counts, out=start[1:])
+    for i in range(C):
+        s, e = start[i], start[i + 1]
+        d[i, : e - s] = vals[s:e]
+        cc[i, : e - s] = cols[s:e]
+        rl[i, : e - s] = (rows[s:e] - i * R).astype(np.int32)
+        # padding entries: (row 0, col 0, value 0) — scatter-ADD no-ops
+    sq_dt = jnp.float32 if jnp.dtype(dtype).itemsize <= 4 else dtype
+    return ChunkedCoo(
+        jnp.asarray(d, dtype=dtype),
+        jnp.asarray(cc),
+        jnp.asarray(rl),
+        jnp.asarray(np.sum(vals.astype(np.float64) ** 2), dtype=sq_dt),
+        (n, m), R)
+
+
+def _pad_rows(M: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    n = M.shape[0]
+    return M if n == n_pad else jnp.pad(M, ((0, n_pad - n), (0, 0)))
+
+
+def _densify_chunk(X: ChunkedCoo, dv, cv, rv) -> jnp.ndarray:
+    """Scatter one chunk's nonzeros into a zeroed (R, m) buffer.
+
+    scatter-add at STORAGE dtype: positions are unique (canonical COO), and
+    the padding zeros land on (0, 0) harmlessly. The dense chunk then rides
+    the normal mixed-precision matmul path (bf16 MXU + f32 accumulate)."""
+    R, m = X.chunk_rows, X.shape[1]
+    return jnp.zeros((R, m), X.data.dtype).at[rv, cv].add(dv)
+
+
+def chunked_spmm(X: ChunkedCoo, B: jnp.ndarray) -> jnp.ndarray:
+    """X @ B → (n, k): one streamed pass, dense MXU per chunk."""
+
+    def body(_, inp):
+        dv, cv, rv = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        return None, matmul(Xc, B)
+
+    _, ys = jax.lax.scan(body, None, (X.data, X.cols, X.rows))
+    out = ys.reshape(X.n_pad, -1)
+    return out[: X.shape[0]]
+
+
+def chunked_spmm_t(X: ChunkedCoo, M: jnp.ndarray) -> jnp.ndarray:
+    """Xᵀ @ M → (m, k): streamed accumulation over row chunks."""
+    k = M.shape[1]
+    Mp = _pad_rows(M, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+
+    def body(acc, inp):
+        dv, cv, rv, mc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        return acc + matmul(Xc.T, mc), None
+
+    acc0 = jnp.zeros((X.shape[1], k), M.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (X.data, X.cols, X.rows, Mp))
+    return acc
+
+
+def chunked_inner(X: ChunkedCoo, M: jnp.ndarray, B: jnp.ndarray):
+    """⟨X, M Bᵀ⟩ = Σ((X @ B) ⊙ M) — streamed, scalar out."""
+    k = B.shape[1]
+    Mp = _pad_rows(M, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+
+    def body(acc, inp):
+        dv, cv, rv, mc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        return acc + jnp.sum(matmul(Xc, B) * mc), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((), M.dtype),
+                          (X.data, X.cols, X.rows, Mp))
+    return acc
+
+
+def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
+    """One streamed MU iteration leg: update U and accumulate V's X-side
+    terms in the SAME pass over X (the fused-kernel contract,
+    ops/pallas/mu_fused.py / solvers/mu.py make_mu_step):
+
+        U_c   ← U_c ⊙ (X_c V) ⊘ (U_c VᵀV + l1 + l2·U_c + ε)   per chunk
+        numV  = Σ_c X_cᵀ U_c_new          (XᵀU_new, already global)
+        gramU = Σ_c U_c_newᵀ U_c_new      (U_newᵀU_new)
+
+    Returns (U_new[:n], numV, gramU). Padding rows of U enter as zeros and
+    stay exactly zero under the MU ratio (0 · num / (… + ε) = 0).
+    """
+    n, m = X.shape
+    k = U.shape[1]
+    Up = _pad_rows(U, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+
+    def body(carry, inp):
+        numV, gramU = carry
+        dv, cv, rv, uc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        num = matmul(Xc, V)
+        u_new = uc * num / (matmul(uc, VtV) + l1 + l2 * uc + eps)
+        numV = numV + matmul(Xc.T, u_new)
+        gramU = gramU + matmul(u_new.T, u_new)
+        return (numV, gramU), u_new
+
+    acc0 = (jnp.zeros((m, k), U.dtype), jnp.zeros((k, k), U.dtype))
+    (numV, gramU), ys = jax.lax.scan(
+        body, acc0, (X.data, X.cols, X.rows, Up))
+    return ys.reshape(X.n_pad, k)[:n], numV, gramU

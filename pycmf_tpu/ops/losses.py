@@ -45,6 +45,13 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
     bell_t: optional BlockEll layout of Aᵀ — computes the inner product as
     Σ((AᵀM) ⊙ B) with one MXU block-sparse pass (preferred)."""
     cross = jnp.sum(gram(M) * gram(B))
+    from .chunked import chunked_inner, is_chunked
+
+    if is_chunked(A):
+        # streaming chunked path: a_sq cached at ingest, inner is one
+        # scatter+MXU pass over the chunks (ops/chunked.py)
+        return 0.5 * (A.sq_norm.astype(M.dtype)
+                      - 2.0 * chunked_inner(A, M, B) + cross)
     if is_sparse(A):
         a_sq = A.sq_norm
         if bell_t is not None:

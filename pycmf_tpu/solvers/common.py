@@ -93,7 +93,11 @@ class Coupled(NamedTuple):
 
 def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
                use_pallas: bool = False) -> jnp.ndarray:
-    """C.A @ B (or C.Aᵀ @ B) for dense or CSR operands."""
+    """C.A @ B (or C.Aᵀ @ B) for dense, CSR, or chunked-COO operands."""
+    from ..ops.chunked import chunked_spmm, chunked_spmm_t, is_chunked
+
+    if is_chunked(C.A):
+        return chunked_spmm_t(C.A, B) if transpose else chunked_spmm(C.A, B)
     if is_sparse(C.A):
         if use_pallas:
             bell = C.At_bell if transpose else C.A_bell

@@ -70,11 +70,36 @@ def make_mu_step(cfg: SolverConfig, with_aux: bool = False):
         eps = hyper.eps
         up = cfg.use_pallas
 
+        from ..ops.chunked import is_chunked as _is_ck
         from ..ops.pallas.policy import kernel_enabled
         from ..ops.sparse import is_sparse as _is_sp
 
+        if _is_ck(X.A) and cfg.update_U and cfg.update_V:
+            # Streaming chunked-COO X (beyond-densify-threshold sparse,
+            # ops/chunked.py): ONE scatter+MXU pass per iteration updates U
+            # and accumulates V's X-side terms — the same single-X-pass
+            # contract as the fused Pallas branch below, in pure XLA.
+            from ..ops.chunked import chunked_mu_u_pass
+
+            VtV = gram(V)
+            U, num_vx, gram_u = chunked_mu_u_pass(X.A, U, V, VtV,
+                                                  l1, l2, eps)
+            if cfg.has_Y and cfg.update_Z:
+                num = coupled_mm(Y, V, transpose=True, use_pallas=up)
+                Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+            num_v = num_vx
+            S = gram_u
+            if cfg.has_Y:
+                num_v = num_v + coupled_mm(Y, Z, use_pallas=up)
+                S = S + gram(Z)
+            V = mu_ratio_update(V, S, num_v, l1, l2, eps, up)
+            if with_aux:
+                return U, V, Z, (num_vx, gram_u)
+            return U, V, Z
+
         fused = (up and cfg.update_U and cfg.update_V
-                 and not _is_sp(X.A) and U.dtype != jnp.bfloat16
+                 and not _is_sp(X.A) and not _is_ck(X.A)
+                 and U.dtype != jnp.bfloat16
                  and kernel_enabled("fused_mu_u_pass"))
         if fused:
             # Single-X-pass iteration (see ops/pallas/mu_fused.py): the
@@ -162,6 +187,13 @@ def _aux_ok(cfg: SolverConfig, X: Coupled, U0) -> bool:
     (fresh aux), and not the small-mixed-precision regime where the
     factored identity suffers cancellation (ops/losses.py picks a direct
     streamed residual there — keep the two paths consistent)."""
+    from ..ops.chunked import is_chunked as _is_ck
+
+    if _is_ck(X.A):
+        # the chunked step always computes the aux pair (pure XLA — no
+        # Pallas gate), and chunked X is by definition far past the
+        # small-problem cancellation regime
+        return cfg.update_U and cfg.update_V
     if not (cfg.use_pallas and cfg.update_U and cfg.update_V):
         return False
     from ..ops.sparse import is_sparse as _is_sp

@@ -25,17 +25,26 @@ DENSIFY_THRESHOLD = 1 << 31  # 2 GB
 
 def as_coupled(A, dtype, use_pallas: bool = False,
                sparse_mode: str = "auto",
-               densify_threshold: int = DENSIFY_THRESHOLD) -> Coupled:
+               densify_threshold: int = DENSIFY_THRESHOLD,
+               chunked_ok: bool = False) -> Coupled:
     """Convert a host matrix to device operands.
 
     sparse_mode (TPU-first policy, not in the reference):
-      'auto'  — densify when the dense copy fits the threshold: at CMF ranks
-                a dense MXU matmul beats per-nonzero work up to surprisingly
-                low densities, and XLA's scatter-based segment ops are
-                pathologically slow on TPU. Above the threshold, tiled-CSR
-                Pallas kernels (use_pallas) or segment-sum CSR.
+      'auto'  — densify when the dense copy AT THE STORAGE DTYPE fits the
+                threshold (bf16 storage doubles the densify reach): at CMF
+                ranks a dense MXU matmul beats per-nonzero work up to
+                surprisingly low densities, and XLA's scatter-based segment
+                ops are pathologically slow on TPU. Above the threshold:
+                chunked streaming (chunked_ok — the MU fast path,
+                ops/chunked.py), else BlockEll MXU layouts (use_pallas,
+                block-structured sparsity), else segment-sum CSR.
       'csr'   — always keep CSR (+ tiled layouts when use_pallas).
       'dense' — always densify.
+      'chunked' — force the streaming chunked-COO layout.
+
+    chunked_ok: allow 'auto' to resolve to the chunked layout — the caller
+    asserts the consumer handles ChunkedCoo (MU solver; Newton terms
+    don't, they keep CSR).
     """
     fdt = (jnp.float32 if dtype in (jnp.bfloat16,) + FP8_DTYPES
            else dtype)
@@ -61,15 +70,36 @@ def as_coupled(A, dtype, use_pallas: bool = False,
             a_sq=jnp.asarray(sq.sum(), dtype=fdt))
 
     if not sp.issparse(A):
+        # dense host input ignores sparse_mode (incl. 'chunked'), matching
+        # the long-standing 'csr' behavior: dense arrays upload as-is
         return _dense_coupled(np.asarray(A))
 
     mode = sparse_mode
-    if mode not in ("auto", "csr", "dense"):
+    if mode not in ("auto", "csr", "dense", "chunked"):
         raise ValueError(
-            f"sparse_mode must be 'auto', 'csr' or 'dense', got {mode!r}")
-    nbytes_dense = A.shape[0] * A.shape[1] * np.dtype(np.float32).itemsize
+            f"sparse_mode must be 'auto', 'csr', 'dense' or 'chunked', "
+            f"got {mode!r}")
+    # Threshold on STORAGE bytes: bf16 storage halves the dense footprint,
+    # doubling the densify reach. fp8 still counts f32 bytes — its scatter
+    # detours through a transient f32 buffer (see the dense branch).
+    item = (4 if dtype in FP8_DTYPES
+            else jnp.dtype(dtype).itemsize)
+    nbytes_dense = A.shape[0] * A.shape[1] * item
     if mode == "auto":
-        mode = "dense" if nbytes_dense <= densify_threshold else "csr"
+        mode = ("dense" if nbytes_dense <= densify_threshold
+                else ("chunked" if chunked_ok else "csr"))
+    if mode == "chunked":
+        if dtype in FP8_DTYPES:
+            raise ValueError(
+                "fp8 data storage requires dense device form; the chunked "
+                "streaming layout stores COO + a transient dense chunk — "
+                "use data_dtype='bfloat16' for beyond-threshold X")
+        from ..ops.chunked import chunked_from_scipy
+
+        sq64 = np.asarray(A.multiply(A).sum())
+        return Coupled(
+            chunked_from_scipy(A, dtype=dtype),
+            a_sq=jnp.asarray(sq64, dtype=fdt))
     if mode == "csr" and dtype in FP8_DTYPES:
         # The storage layer owns this rule so fit, transform, and direct
         # callers all get the clean error (CSR segment ops have no fp8
@@ -139,8 +169,9 @@ def as_coupled(A, dtype, use_pallas: bool = False,
                 warnings.warn(
                     "block-sparse layout exceeds the densify threshold "
                     "(sparsity too scattered for 128x128 blocks); falling "
-                    "back to segment-sum SpMM — consider n_shards to "
-                    "row-shard and densify per chip", UserWarning,
+                    "back to segment-sum SpMM — use sparse_mode='chunked' "
+                    "(MU streaming path) or n_shards to row-shard and "
+                    "densify per chip", UserWarning,
                     stacklevel=3)
         from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
 

@@ -1,0 +1,178 @@
+"""Streaming chunked-COO sparse path (ops/chunked.py; round-2 VERDICT
+item 1): the single-chip answer for scattered-sparse X past the densify
+threshold. Oracle = the dense and CSR paths (same math, different layout).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pycmf_tpu import CMF
+from pycmf_tpu.ops.chunked import (ChunkedCoo, chunked_from_scipy,
+                                   chunked_inner, chunked_mu_u_pass,
+                                   chunked_spmm, chunked_spmm_t, is_chunked,
+                                   pick_chunk_rows)
+
+
+@pytest.fixture
+def Xs(rng):
+    return sp.csr_matrix(np.abs(rng.randn(137, 90))
+                         * (rng.rand(137, 90) > 0.85))
+
+
+class TestChunkedOps:
+    @pytest.mark.parametrize("chunk_rows", [16, 64, 137, 200])
+    def test_spmm_matches_scipy(self, rng, Xs, chunk_rows):
+        X = chunked_from_scipy(Xs, dtype=jnp.float64, chunk_rows=chunk_rows)
+        B = rng.rand(90, 5)
+        got = np.asarray(chunked_spmm(X, jnp.asarray(B)))
+        np.testing.assert_allclose(got, Xs @ B, rtol=1e-12)
+
+    def test_spmm_t_matches_scipy(self, rng, Xs):
+        X = chunked_from_scipy(Xs, dtype=jnp.float64, chunk_rows=32)
+        M = rng.rand(137, 5)
+        got = np.asarray(chunked_spmm_t(X, jnp.asarray(M)))
+        np.testing.assert_allclose(got, Xs.T @ M, rtol=1e-12)
+
+    def test_inner_matches_scipy(self, rng, Xs):
+        X = chunked_from_scipy(Xs, dtype=jnp.float64, chunk_rows=50)
+        M, B = rng.rand(137, 5), rng.rand(90, 5)
+        got = float(chunked_inner(X, jnp.asarray(M), jnp.asarray(B)))
+        want = float(np.sum((Xs @ B) * M))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_mu_pass_matches_dense_update(self, rng, Xs):
+        X = chunked_from_scipy(Xs, dtype=jnp.float64, chunk_rows=48)
+        U = jnp.asarray(np.abs(rng.randn(137, 5)))
+        V = jnp.asarray(np.abs(rng.randn(90, 5)))
+        VtV = V.T @ V
+        U2, numV, gramU = chunked_mu_u_pass(X, U, V, VtV, 0.01, 0.02, 1e-10)
+        Xd = np.asarray(Xs.todense())
+        U2_want = np.asarray(U) * (Xd @ np.asarray(V)) / (
+            np.asarray(U) @ np.asarray(VtV) + 0.01 + 0.02 * np.asarray(U)
+            + 1e-10)
+        np.testing.assert_allclose(np.asarray(U2), U2_want, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(numV), Xd.T @ U2_want,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(gramU), U2_want.T @ U2_want,
+                                   rtol=1e-10)
+
+    def test_duplicate_coo_entries_summed(self):
+        A = sp.coo_matrix((np.array([1.0, 2.0, 4.0]),
+                           (np.array([0, 0, 2]), np.array([1, 1, 0]))),
+                          shape=(40, 8))
+        X = chunked_from_scipy(A, dtype=jnp.float64, chunk_rows=16)
+        got = np.asarray(chunked_spmm(X, jnp.eye(8)))
+        np.testing.assert_allclose(got, np.asarray(A.todense()))
+
+    def test_pick_chunk_rows(self):
+        # small m: capped by MXU-tile multiples of 128
+        assert pick_chunk_rows(10_000, 1000, 256 << 20) % 128 == 0
+        # huge m: floor 8, multiple of 8
+        r = pick_chunk_rows(10_000, 50_000_000, 256 << 20)
+        assert r >= 8 and r % 8 == 0
+
+    def test_pytree_roundtrip(self, Xs):
+        import jax
+
+        X = chunked_from_scipy(Xs, dtype=jnp.float32, chunk_rows=64)
+        leaves, treedef = jax.tree_util.tree_flatten(X)
+        X2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert is_chunked(X2) and X2.shape == X.shape
+        assert X2.chunk_rows == X.chunk_rows
+
+
+class TestChunkedEstimator:
+    def _fit(self, X, Y, inits, **kw):
+        U0, V0, Z0 = inits
+        m = CMF(n_components=5, solver="mu", max_iter=25, tol=0.0,
+                dtype="float64", random_state=0, **kw)
+        m.fit(X, Y, U=U0, V=V0, Z=Z0)
+        return m
+
+    def test_fit_matches_dense_exactly(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        inits = (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                 np.abs(rng.randn(6, 5)))
+        md = self._fit(Xs, Y, inits, sparse_mode="dense")
+        mc = self._fit(Xs, Y, inits, sparse_mode="chunked")
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-10)
+        np.testing.assert_allclose(mc.V_, md.V_, rtol=1e-10)
+        np.testing.assert_allclose(mc.loss_history_, md.loss_history_,
+                                   rtol=1e-12)
+
+    def test_device_loop_matches_host(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        inits = (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                 np.abs(rng.randn(6, 5)))
+        mh = self._fit(Xs, Y, inits, sparse_mode="chunked", loop="host")
+        md = self._fit(Xs, Y, inits, sparse_mode="chunked", loop="device")
+        np.testing.assert_allclose(md.U_, mh.U_, rtol=1e-10)
+        np.testing.assert_allclose(md.loss_history_, mh.loss_history_,
+                                   rtol=1e-10)
+
+    def test_transform_matches_dense(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        inits = (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                 np.abs(rng.randn(6, 5)))
+        md = self._fit(Xs, Y, inits, sparse_mode="dense")
+        mc = self._fit(Xs, Y, inits, sparse_mode="chunked")
+        Xn = sp.csr_matrix(np.abs(rng.randn(23, 90))
+                           * (rng.rand(23, 90) > 0.7))
+        np.testing.assert_allclose(mc.transform(Xn), md.transform(Xn),
+                                   rtol=1e-10)
+
+    def test_single_matrix_nmf_mode(self, rng, Xs):
+        inits = (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)), None)
+        md = self._fit(Xs, None, inits, sparse_mode="dense")
+        mc = self._fit(Xs, None, inits, sparse_mode="chunked")
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-10)
+
+    def test_loss_decreases(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        m = CMF(n_components=5, solver="mu", max_iter=30, tol=0.0,
+                sparse_mode="chunked", random_state=0, dtype="float64")
+        m.fit(Xs, Y)
+        h = np.array(m.loss_history_)
+        assert np.all(np.diff(h) <= 1e-10 * h[0])
+
+    def test_newton_chunked_raises(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(n_components=5, solver="newton",
+                sparse_mode="chunked").fit(Xs, Y)
+
+    def test_sharded_chunked_raises(self, rng, Xs):
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(n_components=5, solver="mu", sparse_mode="chunked",
+                n_shards=2).fit(Xs)
+
+    def test_fp8_chunked_raises(self, rng, Xs):
+        from pycmf_tpu.utils.validation import as_coupled
+
+        with pytest.raises(ValueError, match="fp8"):
+            as_coupled(Xs, jnp.float8_e4m3fn, sparse_mode="chunked")
+
+    def test_auto_resolves_chunked_above_threshold(self, rng, Xs):
+        from pycmf_tpu.utils.validation import as_coupled
+
+        # tiny threshold forces the beyond-threshold branch
+        C = as_coupled(Xs, jnp.float64, sparse_mode="auto",
+                       densify_threshold=1024, chunked_ok=True)
+        assert is_chunked(C.A)
+        C2 = as_coupled(Xs, jnp.float64, sparse_mode="auto",
+                        densify_threshold=1024, chunked_ok=False)
+        assert not is_chunked(C2.A)
+
+    def test_storage_dtype_threshold(self, rng, Xs):
+        """bf16 storage halves the footprint → densifies where f32 won't."""
+        from pycmf_tpu.ops.sparse import is_sparse
+        from pycmf_tpu.utils.validation import as_coupled
+
+        thr = 137 * 90 * 3  # between bf16 (x2) and f32 (x4) footprints
+        Cb = as_coupled(Xs, jnp.bfloat16, sparse_mode="auto",
+                        densify_threshold=thr)
+        assert not is_sparse(Cb.A) and not is_chunked(Cb.A)
+        Cf = as_coupled(Xs, jnp.float32, sparse_mode="auto",
+                        densify_threshold=thr)
+        assert is_sparse(Cf.A)

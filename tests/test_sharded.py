@@ -581,3 +581,66 @@ class TestShardedTransform:
         m.data_dtype = "fp8"
         with pytest.raises(ValueError, match="fp8"):
             m.transform(np.abs(rng.randn(24, 32)))
+
+
+class TestGridLayout:
+    """2-D (rows x cols) mesh: X sharded over both axes, U on rows,
+    V on cols, double psum (parallel/grid.py). MU/linear prototype."""
+
+    def _problem(self, rng):
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        return X, Y, U0, V0, Z0
+
+    def test_mu_matches_single_device(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", random_state=0, alpha=0.05,
+                  l1_ratio=0.3)
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        mg = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, mg.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(m1.V_, mg.V_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(m1.Z_, mg.Z_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(m1.loss_history_, mg.loss_history_, rtol=1e-10)
+
+    def test_int_n_shards_auto_factors(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        mg = CMF(n_shards=8, shard_layout="grid", **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, mg.U_, rtol=1e-10, atol=1e-12)
+
+    def test_single_matrix_mode(self, rng):
+        X, _, U0, V0, _ = self._problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(**kw).fit(X, None, U=U0, V=V0)
+        mg = CMF(n_shards=(4, 2), shard_layout="grid", **kw).fit(
+            X, None, U=U0, V=V0)
+        assert np.allclose(m1.U_, mg.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(m1.V_, mg.V_, rtol=1e-10, atol=1e-12)
+
+    def test_tuple_requires_grid_layout(self, rng):
+        with pytest.raises(ValueError, match="grid"):
+            CMF(n_components=4, n_shards=(2, 4))._resolve_n_shards()
+
+    def test_newton_grid_raises(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        with pytest.raises(ValueError, match="grid"):
+            CMF(n_components=4, solver="newton", n_shards=(2, 4),
+                shard_layout="grid").fit(X, Y)
+
+    def test_factor_grid(self):
+        from pycmf_tpu.parallel.grid import factor_grid
+
+        assert factor_grid(8) == (2, 4)
+        assert factor_grid(4) == (2, 2)
+        assert factor_grid(6) == (2, 3)
+        assert factor_grid(7) == (1, 7)
