@@ -85,16 +85,24 @@ def main() -> None:
     U0, V0, Z0 = initialize_factors(
         X, Y, K, x_init="random", y_init="random", random_state=SEED)
 
+    # Initial factors + hyper live on device BEFORE timing, exactly as the
+    # CPU baseline's live in RAM ("data already resident" policy above).
+    # Round-3 decomposition (benchmarks/probe_mu_overhead.py): re-uploading
+    # them inside the timed region cost 177 ms of tunnel round-trips on a
+    # 154 ms fit — more than the fit itself.
+    f32 = jnp.float32
+    Ud = jnp.asarray(U0, f32)
+    Vd = jnp.asarray(V0, f32)
+    Zd = jnp.asarray(Z0, f32)
+    hyperd = make_hyper(dtype=f32)
+    for a in (Ud, Vd, Zd):
+        np.asarray(jax.device_get(a[:1, :1]))  # force upload completion
+
     def solver_run(solver, Xc, Yc, cfg, max_iter, tol, eval_every):
-        f32 = jnp.float32
-        U = jnp.asarray(U0, f32)
-        V = jnp.asarray(V0, f32)
-        Z = jnp.asarray(Z0, f32)
-        hyper = make_hyper(dtype=f32)
         rng = jax.random.PRNGKey(SEED)
         runner = run_mu if solver == "mu" else run_newton
-        args = (Xc, Yc, U, V, Z, cfg, hyper) + (() if solver == "mu"
-                                                else (rng,))
+        args = (Xc, Yc, Ud, Vd, Zd, cfg, hyperd) + (() if solver == "mu"
+                                                    else (rng,))
         kw = dict(max_iter=max_iter, tol=tol, eval_every=eval_every,
                   loop=loop)
         return runner(*args, **kw)

@@ -409,20 +409,17 @@ class CMF(BaseEstimator, TransformerMixin):
         if n_shards is not None and n_shards > 1 \
                 and self.shard_layout == "grid":
             # 2-D grid layout: X sharded over BOTH axes (jointly huge
-            # n and m); MU/linear only — parallel/grid.py.
+            # n and m) — parallel/grid.py.
             from ..parallel.grid import run_grid
 
-            if self.solver != "mu":
-                raise ValueError(
-                    "shard_layout='grid' currently supports solver='mu'; "
-                    "use shard_layout='rows'/'cols' for Newton")
             hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
                                self.hessian_pertubation, dtype=dt)
             Uf, Vf, Zf, n_iter, losses, iters, times = run_grid(
                 X, Y, U0, V0, Z0, self._config(has_Y=Y is not None),
                 hyper, grid=self._resolve_grid(), dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
-                eval_every=self.eval_every, verbose=self.verbose)
+                eval_every=self.eval_every, verbose=self.verbose,
+                solver=self.solver, rng=rng)
         elif n_shards is not None and n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
             # (SURVEY.md §7 stage 6), so hand over host matrices directly.

@@ -1,4 +1,4 @@
-"""2-D grid-sharded MU: X sharded over BOTH axes of a (rows × cols) mesh.
+"""2-D grid-sharded CMF: X sharded over BOTH axes of a (rows × cols) mesh.
 
 The 1-D layouts (parallel/sharded.py) shard either n (rows) or m (cols);
 a problem that is jointly huge in n AND m has no 1-D layout whose
@@ -11,33 +11,40 @@ replicated factor fits a chip. The grid layout (SURVEY.md §7 anticipated
              over ROW
     Y_j    : row-sharded over COL (Y's rows index m), Z replicated
 
-Each factor's MU terms reduce over the OTHER axis only — psums stay
-k-shaped ((n_loc,k)/(m_loc,k)/(k,k)) and axis-local, which maps onto a
-TPU torus as ring all-reduces over each hardware dimension:
+Each factor's update terms reduce over the OTHER axis only — collectives
+stay k-shaped ((n_loc,k)/(m_loc,k)/(k,k)) and axis-local, which maps onto
+a TPU torus as ring all-reduces over each hardware dimension:
 
-    U: numU_i = Σ_j X[i,j] V_j      → psum over COL;  VᵀV → psum over COL
-    Z: numZ   = Σ_j Y_jᵀ V_j        → psum over COL
-    V: numV_j = Σ_i X[i,j]ᵀ U_i     → psum over ROW;  UᵀU → psum over ROW
-               (+ local Y_j Z — no collective)
+    MU    U: numU_i = Σ_j X[i,j] V_j      → psum over COL;  VᵀV → COL
+          Z: numZ   = Σ_j Y_jᵀ V_j        → psum over COL
+          V: numV_j = Σ_i X[i,j]ᵀ U_i     → psum over ROW;  UᵀU → ROW
+             (+ local Y_j Z — no collective)
+    Newton: the same geometry through newton_update_factor's per-term
+          `distributed` machinery — U's and Z's stacked (g, H, φ)
+          contributions psum over COL, V's X-side over ROW while its
+          Y-side stays local. Padded rows/cols carry explicit masks for
+          sigmoid links (σ(0) = 0.5 is not a no-op); linear MU padding
+          is exact under zeros and needs none.
 
-Zero padding is exact for the linear-link MU math (padded rows/cols of
-X/U/V/Y contribute 0 and stay 0 under the ratio update), so no masks.
-Prototype scope: MU, dense X, linear links — Newton and sparse blocks
-follow the same sharding and are future work (documented in STATUS.md).
+Dense X prototype; per-cell CSR/BlockEll blocks are the planned
+extension (STATUS.md).
 """
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..ops.links import LINEAR
 from ..ops.losses import penalty
 from ..ops.matmul import gram, matmul
 from ..solvers.common import Hyper, SolverConfig, run_solver_loop
 from ..solvers.mu import mu_ratio_update
+from ..solvers.newton import Term, newton_update_factor
 from .mesh import COL_AXIS, ROW_AXIS, make_grid_mesh
 
 
@@ -47,6 +54,23 @@ def factor_grid(n_devices: int) -> tuple[int, int]:
     while n_devices % r:
         r -= 1
     return r, n_devices // r
+
+
+class _GridOps(NamedTuple):
+    """Device operands; leading dims sharded per _grid_specs."""
+    X: jnp.ndarray        # (n_pad, m_pad)  P(ROW, COL)
+    Y: jnp.ndarray        # (m_pad, r_dim)  P(COL, None); r_dim=0 when no Y
+    a_sq: jnp.ndarray     # ()              replicated ‖X‖²
+    nmask: jnp.ndarray    # (n_pad,)        P(ROW)  1.0 on real rows
+    mmask: jnp.ndarray    # (m_pad,)        P(COL)  1.0 on real shared dims
+    rsq_u: jnp.ndarray    # (n_pad, c)      P(ROW, COL) partial ‖xᵢ‖²
+    rsq_v: jnp.ndarray    # (m_pad, r)      P(COL, ROW) partial ‖(Xᵀ)ᵢ‖²
+
+
+def _grid_specs() -> _GridOps:
+    return _GridOps(P(ROW_AXIS, COL_AXIS), P(COL_AXIS, None), P(),
+                    P(ROW_AXIS), P(COL_AXIS),
+                    P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS))
 
 
 def _prepare_grid(X, Y, U0, V0, r, c, dtype):
@@ -68,20 +92,34 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype):
         Yh = np.zeros((m_pad, Y.shape[1]))
         Yh[:m] = np.asarray(Y)
         Yd = jnp.asarray(Yh, dtype=dtype)
-    a_sq = jnp.asarray(np.sum(Xh * Xh),
-                       dtype=jnp.float32 if jnp.dtype(dtype) ==
-                       jnp.dtype(jnp.bfloat16) else dtype)
-    return (jnp.asarray(Xh, dtype=dtype), Yd, a_sq,
-            jnp.asarray(U_pad, dtype=dtype), jnp.asarray(V_pad, dtype=dtype),
-            n, m)
+    nmask = np.zeros((n_pad,))
+    nmask[:n] = 1.0
+    mmask = np.zeros((m_pad,))
+    mmask[:m] = 1.0
+    # fit-time partial row norms: rsq_u[i, j] = ‖X[i, cols of block j]‖²
+    # (completed by the φ psum over COL); rsq_v mirrors it for Xᵀ.
+    rsq_u = np.stack([(Xh[:, j * m_loc:(j + 1) * m_loc] ** 2).sum(axis=1)
+                      for j in range(c)], axis=1)
+    rsq_v = np.stack([(Xh[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
+                      for i in range(r)], axis=1)
+    fdt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
+    ops = _GridOps(
+        jnp.asarray(Xh, dtype=dtype), Yd,
+        jnp.asarray(np.sum(Xh * Xh), dtype=fdt),
+        jnp.asarray(nmask, dtype=dtype), jnp.asarray(mmask, dtype=dtype),
+        jnp.asarray(rsq_u, dtype=fdt), jnp.asarray(rsq_v, dtype=fdt))
+    return (ops, jnp.asarray(U_pad, dtype=dtype),
+            jnp.asarray(V_pad, dtype=dtype), n, m)
 
 
-def _mu_grid_iter(Xl, Yl, U, V, Z, cfg: SolverConfig, hyper: Hyper):
+def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     """One MU iteration on local blocks (inside shard_map). Pinned
     U → Z → V order (solvers/mu.py): V's numerator sees U_new."""
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
+    Xl, Yl = ops.X, ops.Y
 
     VtV = (jax.lax.psum(gram(V), COL_AXIS)
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
@@ -101,57 +139,121 @@ def _mu_grid_iter(Xl, Yl, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     return U, V, Z
 
 
-def _loss_grid(Xl, Yl, a_sq, U, V, Z, cfg: SolverConfig, hyper: Hyper):
-    """L(U,V,Z) via the factored identity; the double-sharded inner
-    product Σ_ij ⟨X[i,j], U_i V_jᵀ⟩ psums over BOTH axes."""
-    inner = jnp.sum(matmul(Xl, V) * U)
-    inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
-    gU = jax.lax.psum(gram(U), ROW_AXIS)
-    gV = jax.lax.psum(gram(V), COL_AXIS)
-    loss = 0.5 * (a_sq - 2.0 * inner + jnp.sum(gU * gV))
-    loss = loss + jax.lax.psum(
+def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
+                      hyper: Hyper, rng):
+    """One Newton iteration on the grid: U/Z psum their stacked (g, H, φ)
+    over COL, V's X-side over ROW (Y-side local) — newton_update_factor's
+    per-term `distributed` machinery, with column masks covering the
+    padded axis for sigmoid links and partial fit-time row norms
+    completed by the φ psums."""
+    kU, kZ, kV = jax.random.split(rng, 3)
+    common = dict(trials=cfg.line_search_trials,
+                  hessian_form=cfg.hessian_form,
+                  sample_ratio=cfg.sg_sample_ratio,
+                  use_pallas=cfg.use_pallas)
+    Xl, Yl = ops.X, ops.Y
+    xmask = ops.mmask if cfg.x_link != LINEAR else None
+    xtmask = ops.nmask if cfg.x_link != LINEAR else None
+    ymask = ops.mmask if cfg.y_link != LINEAR else None
+
+    if cfg.update_U:
+        U = newton_update_factor(
+            kU, U, (Term(Xl, V, None, ops.rsq_u[:, 0]),), (cfg.x_link,),
+            hyper, non_negative=cfg.U_non_negative, distributed=(True,),
+            masks=(xmask,), axis_name=COL_AXIS, **common)
+        U = U * ops.nmask[:, None]     # keep padding rows exactly zero
+    if cfg.has_Y and cfg.update_Z:
+        Z = newton_update_factor(
+            kZ, Z, ((Yl.T, V),), (cfg.y_link,), hyper,
+            non_negative=cfg.Z_non_negative, distributed=(True,),
+            masks=(ymask,), axis_name=COL_AXIS, **common)
+    if cfg.update_V:
+        kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
+        terms = (Term(Xl.T, U, None, ops.rsq_v[:, 0]),)
+        links = (cfg.x_link,)
+        dist = (True,)
+        masks = (xtmask,)
+        if cfg.has_Y:
+            terms = terms + ((Yl, Z),)
+            links = links + (cfg.y_link,)
+            dist = dist + (False,)
+            masks = masks + (None,)
+        V = newton_update_factor(
+            kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
+            distributed=dist, masks=masks, axis_name=ROW_AXIS, **common)
+        V = V * ops.mmask[:, None]
+    return U, V, Z
+
+
+def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
+    """L(U,V,Z): linear terms via the factored identity with the
+    double-sharded inner product psummed over BOTH axes; sigmoid terms as
+    masked local residuals."""
+    Xl, Yl = ops.X, ops.Y
+    if cfg.x_link == LINEAR:
+        inner = jnp.sum(matmul(Xl, V) * U)
+        inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
+        gU = jax.lax.psum(gram(U), ROW_AXIS)
+        gV = jax.lax.psum(gram(V), COL_AXIS)
+        x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(gU * gV))
+    else:
+        R = Xl - jax.nn.sigmoid(matmul(U, V.T))
+        w = ops.nmask[:, None] * ops.mmask[None, :]
+        x_term = 0.5 * jax.lax.psum(
+            jax.lax.psum(jnp.sum(w * R * R), COL_AXIS), ROW_AXIS)
+    loss = x_term + jax.lax.psum(
         penalty(U, hyper.alpha, hyper.l1_ratio), ROW_AXIS)
     loss = loss + jax.lax.psum(
         penalty(V, hyper.alpha, hyper.l1_ratio), COL_AXIS)
     if cfg.has_Y:
-        y_sq = jax.lax.psum(jnp.sum(Yl.astype(U.dtype) ** 2), COL_AXIS)
-        y_inner = jax.lax.psum(
-            jnp.sum(matmul(Yl.T, V) * Z), COL_AXIS)
-        loss = loss + 0.5 * (y_sq - 2.0 * y_inner
-                             + jnp.sum(gV * gram(Z)))
-        loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
+        if cfg.y_link == LINEAR:
+            gV = jax.lax.psum(gram(V), COL_AXIS)
+            y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
+            y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
+            y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        else:
+            R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+            y_term = 0.5 * jax.lax.psum(
+                jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
+        loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
 
 
-def _make_grid_block(cfg: SolverConfig, mesh):
-    in_specs = (P(ROW_AXIS, COL_AXIS), P(COL_AXIS, None), P(),
-                P(ROW_AXIS, None), P(COL_AXIS, None), P(), P())
-    out_specs = ((P(ROW_AXIS, None), P(COL_AXIS, None), P()), P())
+def _make_grid_block(cfg: SolverConfig, mesh, solver: str):
+    ospec = _grid_specs()
+    in_specs = (ospec, P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
+    out_specs = ((P(ROW_AXIS, None), P(COL_AXIS, None), P()), P(), P())
 
-    def body(Xl, Yl, a_sq, U, V, Z, hyper, n_steps):
-        def one(_, fac):
-            return _mu_grid_iter(Xl, Yl, *fac, cfg, hyper)
+    def body(ops, U, V, Z, hyper, rng, n_steps):
+        key, off = rng
+
+        def one(i, fac):
+            if solver == "mu":
+                return _mu_grid_iter(ops, *fac, cfg, hyper)
+            return _newton_grid_iter(ops, *fac, cfg, hyper,
+                                     jax.random.fold_in(key, off + i))
 
         U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_grid(Xl, Yl, a_sq, U, V, Z, cfg, hyper)
-        return (U, V, Z), loss
+        loss = _loss_grid(ops, U, V, Z, cfg, hyper)
+        return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def block(state, hyper, rng, n_steps):
-        Xl, Yl, a_sq, U, V, Z = state
+        ops, U, V, Z = state
         sm = jax.shard_map(partial(body, n_steps=n_steps), mesh=mesh,
                            in_specs=in_specs, out_specs=out_specs,
                            check_vma=False)
-        (U, V, Z), loss = sm(Xl, Yl, a_sq, U, V, Z, hyper)
-        return (Xl, Yl, a_sq, U, V, Z), loss, rng
+        (U, V, Z), loss, rng = sm(ops, U, V, Z, hyper, rng)
+        return (ops, U, V, Z), loss, rng
 
     def loss_fn(state, hyper):
-        Xl, Yl, a_sq, U, V, Z = state
+        ops, U, V, Z = state
         sm = jax.shard_map(
-            lambda Xl, Yl, a_sq, U, V, Z, h: _loss_grid(
-                Xl, Yl, a_sq, U, V, Z, cfg, h),
-            mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
-        return sm(Xl, Yl, a_sq, U, V, Z, hyper)
+            lambda ops, U, V, Z, h: _loss_grid(ops, U, V, Z, cfg, h),
+            mesh=mesh, in_specs=in_specs[:5], out_specs=P(),
+            check_vma=False)
+        return sm(ops, U, V, Z, hyper)
 
     return block, jax.jit(loss_fn)
 
@@ -159,17 +261,15 @@ def _make_grid_block(cfg: SolverConfig, mesh):
 def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
              grid: tuple[int, int], dtype=jnp.float32, mesh=None,
              max_iter: int = 200, tol: float = 1e-4, eval_every: int = 10,
-             verbose: int = 0):
-    """Grid-sharded MU fit driver (dense X, linear links).
+             verbose: int = 0, solver: str = "mu", rng=None):
+    """Grid-sharded fit driver (dense X). Returns the run_mu tuple.
 
-    Returns the same tuple as run_mu. grid=(rows, cols) must multiply to
-    the mesh's device count.
+    grid=(rows, cols) must multiply to the mesh's device count. MU needs
+    linear links (validated by the estimator); Newton supports sigmoid
+    links via the padding masks.
     """
     import scipy.sparse as sp
 
-    if cfg.x_link != "linear" or (cfg.has_Y and cfg.y_link != "linear"):
-        raise ValueError("layout='grid' currently supports linear links "
-                         "only (MU)")
     r, c = grid
     if mesh is None:
         mesh = make_grid_mesh(r, c)
@@ -179,15 +279,17 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
         X = np.asarray(X.todense())
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
-    Xd, Yd, a_sq, U_pad, V_pad, n, m = _prepare_grid(
-        X, Y, U0, V0, r, c, dtype)
+    ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype)
     k = U_pad.shape[1]
     Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
          else jnp.zeros((0, k), dtype=dtype))
-    block, loss_fn = _make_grid_block(cfg, mesh)
-    state = (Xd, Yd, a_sq, U_pad, V_pad, Z)
+    block, loss_fn = _make_grid_block(cfg, mesh, solver)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    state = (ops, U_pad, V_pad, Z)
     state, n_iter, losses, iters, times = run_solver_loop(
-        block, state, hyper, None, max_iter=max_iter, tol=tol,
-        eval_every=eval_every, verbose=verbose, initial_loss_fn=loss_fn)
-    _, _, _, U, V, Z = state
+        block, state, hyper, (rng, jnp.zeros((), jnp.int32)),
+        max_iter=max_iter, tol=tol, eval_every=eval_every,
+        verbose=verbose, initial_loss_fn=loss_fn)
+    _, U, V, Z = state
     return U[:n], V[:m], Z, n_iter, losses, iters, times

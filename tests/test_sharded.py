@@ -631,11 +631,46 @@ class TestGridLayout:
         with pytest.raises(ValueError, match="grid"):
             CMF(n_components=4, n_shards=(2, 4))._resolve_n_shards()
 
-    def test_newton_grid_raises(self, rng):
+    def test_newton_linear_matches_single_device(self, rng):
         X, Y, U0, V0, Z0 = self._problem(rng)
-        with pytest.raises(ValueError, match="grid"):
-            CMF(n_components=4, solver="newton", n_shards=(2, 4),
-                shard_layout="grid").fit(X, Y)
+        kw = dict(n_components=4, solver="newton", max_iter=8, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        mg = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(m1.U_, mg.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(m1.V_, mg.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(m1.loss_history_, mg.loss_history_, rtol=1e-10)
+
+    def test_newton_sigmoid_padded_matches_single_device(self, rng):
+        """67 and 53 are both non-divisible by the mesh axes, so the
+        sigmoid masks cover real padding on BOTH axes."""
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        Xb = (X > np.median(X)).astype(float)
+        Yb = (Y > np.median(Y)).astype(float)
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, x_link="sigmoid",
+                  y_link="sigmoid", U_non_negative=False,
+                  V_non_negative=False, Z_non_negative=False)
+        m1 = CMF(**kw).fit(Xb, Yb, U=U0 - 0.5, V=V0 - 0.5, Z=Z0 - 0.5)
+        mg = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            Xb, Yb, U=U0 - 0.5, V=V0 - 0.5, Z=Z0 - 0.5)
+        assert np.allclose(m1.U_, mg.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(m1.V_, mg.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(m1.loss_history_, mg.loss_history_, rtol=1e-10)
+
+    def test_newton_sampled_matches_single_device(self, rng):
+        """sg_sample_ratio < 1 on the grid: distributed terms fold the
+        axis index into the sample key, so the sharded trajectory is its
+        own deterministic stream — assert convergence, not equality."""
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="newton", max_iter=8, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.6)
+        mg = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        h = np.array(mg.loss_history_)
+        assert h[-1] < h[0]
+        assert np.all(np.isfinite(h))
 
     def test_factor_grid(self):
         from pycmf_tpu.parallel.grid import factor_grid
