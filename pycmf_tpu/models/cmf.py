@@ -414,12 +414,14 @@ class CMF(BaseEstimator, TransformerMixin):
 
             hyper = make_hyper(self.alpha, self.l1_ratio, self.eps,
                                self.hessian_pertubation, dtype=dt)
+            gddt = self._resolve_data_dtype()
             Uf, Vf, Zf, n_iter, losses, iters, times = run_grid(
                 X, Y, U0, V0, Z0, self._config(has_Y=Y is not None),
                 hyper, grid=self._resolve_grid(), dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
-                solver=self.solver, rng=rng)
+                solver=self.solver, rng=rng, loop=self._resolve_loop(),
+                data_dtype=None if gddt == dt else gddt)
         elif n_shards is not None and n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
             # (SURVEY.md §7 stage 6), so hand over host matrices directly.

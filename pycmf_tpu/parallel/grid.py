@@ -73,7 +73,11 @@ def _grid_specs() -> _GridOps:
                     P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS))
 
 
-def _prepare_grid(X, Y, U0, V0, r, c, dtype):
+def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
+    """data_dtype: storage dtype for the X/Y blocks (None = dtype); bf16
+    halves each cell's HBM data-pass traffic while factors, masks, and
+    norms stay at ``dtype``/f32 (same contract as _prepare_rows)."""
+    ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     n_loc, m_loc = -(-n // r), -(-m // c)
     n_pad, m_pad = r * n_loc, c * m_loc
@@ -87,11 +91,11 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype):
     if Y is None:
         # zero-column placeholder: shard_map specs stay uniform and the
         # cfg.has_Y gate keeps it out of every computation
-        Yd = jnp.zeros((m_pad, 0), dtype=dtype)
+        Yd = jnp.zeros((m_pad, 0), dtype=ddt)
     else:
         Yh = np.zeros((m_pad, Y.shape[1]))
         Yh[:m] = np.asarray(Y)
-        Yd = jnp.asarray(Yh, dtype=dtype)
+        Yd = jnp.asarray(Yh, dtype=ddt)
     nmask = np.zeros((n_pad,))
     nmask[:n] = 1.0
     mmask = np.zeros((m_pad,))
@@ -105,7 +109,7 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype):
     fdt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
         else dtype
     ops = _GridOps(
-        jnp.asarray(Xh, dtype=dtype), Yd,
+        jnp.asarray(Xh, dtype=ddt), Yd,
         jnp.asarray(np.sum(Xh * Xh), dtype=fdt),
         jnp.asarray(nmask, dtype=dtype), jnp.asarray(mmask, dtype=dtype),
         jnp.asarray(rsq_u, dtype=fdt), jnp.asarray(rsq_v, dtype=fdt))
@@ -189,9 +193,13 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     """L(U,V,Z): linear terms via the factored identity with the
     double-sharded inner product psummed over BOTH axes; sigmoid terms as
     masked local residuals."""
+    from ..ops.losses import streamed_inner
+
     Xl, Yl = ops.X, ops.Y
     if cfg.x_link == LINEAR:
-        inner = jnp.sum(matmul(Xl, V) * U)
+        # factor-precision inner, block-streamed for bf16 data shards
+        # (see _loss_rows); a_sq is the exact fit-time norm
+        inner = streamed_inner(Xl, U, V)
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
         gU = jax.lax.psum(gram(U), ROW_AXIS)
         gV = jax.lax.psum(gram(V), COL_AXIS)
@@ -218,6 +226,44 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
                 jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
+
+
+def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str):
+    """Whole tol loop inside shard_map: every device runs the while_loop
+    in lockstep, synchronized by the psums — one dispatch per fit (same
+    contract as parallel/sharded._make_rows_device_fit)."""
+    from ..solvers.common import device_fit_core
+
+    ospec = _grid_specs()
+    in_specs = (ospec, P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(),
+                P(), P())
+    out_specs = (P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
+
+    def make_core(ops):
+        def step_fn(_, __, U, V, Z, hyper, key=None):
+            if solver == "mu":
+                return _mu_grid_iter(ops, U, V, Z, cfg, hyper)
+            return _newton_grid_iter(ops, U, V, Z, cfg, hyper, key)
+
+        def loss_core(state, hyper):
+            _, __, U, V, Z = state
+            return _loss_grid(ops, U, V, Z, cfg, hyper)
+
+        return device_fit_core(step_fn, loss_core,
+                               carry_rng=(solver != "mu"))
+
+    @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
+    def fit(ops, U, V, Z, hyper, rng, tol, max_iter, eval_every):
+        def body(ops, U, V, Z, hyper, rng, tol):
+            core = make_core(ops)
+            return core(None, None, U, V, Z, hyper, rng, tol, max_iter,
+                        eval_every)
+
+        sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return sm(ops, U, V, Z, hyper, rng, tol)
+
+    return fit
 
 
 def _make_grid_block(cfg: SolverConfig, mesh, solver: str):
@@ -261,14 +307,20 @@ def _make_grid_block(cfg: SolverConfig, mesh, solver: str):
 def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
              grid: tuple[int, int], dtype=jnp.float32, mesh=None,
              max_iter: int = 200, tol: float = 1e-4, eval_every: int = 10,
-             verbose: int = 0, solver: str = "mu", rng=None):
+             verbose: int = 0, solver: str = "mu", rng=None,
+             loop: str = "host", data_dtype=None):
     """Grid-sharded fit driver (dense X). Returns the run_mu tuple.
 
     grid=(rows, cols) must multiply to the mesh's device count. MU needs
     linear links (validated by the estimator); Newton supports sigmoid
-    links via the padding masks.
+    links via the padding masks. loop='device' runs the whole tol loop
+    inside shard_map (one dispatch per fit).
     """
+    import time as _time
+
     import scipy.sparse as sp
+
+    from ..solvers.common import finish_device_fit
 
     r, c = grid
     if mesh is None:
@@ -279,13 +331,23 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
         X = np.asarray(X.todense())
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
-    ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype)
+    ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype,
+                                            data_dtype=data_dtype)
     k = U_pad.shape[1]
     Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
          else jnp.zeros((0, k), dtype=dtype))
-    block, loss_fn = _make_grid_block(cfg, mesh, solver)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if loop == "device":
+        fitf = _make_grid_device_fit(cfg, mesh, solver)
+        t0 = _time.perf_counter()
+        out = fitf(ops, U_pad, V_pad, Z, hyper, rng,
+                   jnp.asarray(tol, dtype), max_iter, eval_every)
+        U, V, Z, n_iter, losses, iters = finish_device_fit(
+            out, eval_every, max_iter)
+        return (U[:n], V[:m], Z, n_iter, losses, iters,
+                [_time.perf_counter() - t0])
+    block, loss_fn = _make_grid_block(cfg, mesh, solver)
     state = (ops, U_pad, V_pad, Z)
     state, n_iter, losses, iters, times = run_solver_loop(
         block, state, hyper, (rng, jnp.zeros((), jnp.int32)),

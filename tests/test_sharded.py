@@ -679,3 +679,35 @@ class TestGridLayout:
         assert factor_grid(4) == (2, 2)
         assert factor_grid(6) == (2, 3)
         assert factor_grid(7) == (1, 7)
+
+    def test_device_loop_matches_host(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid")
+        mh = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(mh.U_, md.U_, rtol=1e-12)
+        assert np.allclose(mh.loss_history_, md.loss_history_, rtol=1e-12)
+
+    def test_newton_device_loop_matches_host(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid")
+        mh = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(mh.U_, md.U_, rtol=1e-12)
+        assert np.allclose(mh.V_, md.V_, rtol=1e-12)
+
+    def test_bf16_data_matches_single_device(self, rng):
+        X, Y, U0, V0, Z0 = self._problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float32", data_dtype="bfloat16", random_state=0)
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        mg = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        # both quantize the data identically; reduction order differs
+        assert np.allclose(m1.U_, mg.U_, rtol=5e-3, atol=1e-5)
+        assert np.isclose(m1.reconstruction_err_, mg.reconstruction_err_,
+                          rtol=1e-3)
