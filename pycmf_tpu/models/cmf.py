@@ -277,9 +277,12 @@ class CMF(BaseEstimator, TransformerMixin):
         return self.sparse_mode
 
     def _chunked_ok(self) -> bool:
-        """The streaming chunked-COO layout is the MU fast path; Newton's
-        per-row terms consume CSR/dense/BlockEll operands only."""
-        return self.solver == "mu"
+        """Streaming chunked-COO X works for MU and for full-batch
+        linear-link Newton (the streamed U pass + DB/BtB-fed V update);
+        sigmoid X densifies anyway and sampled X needs dense columns."""
+        if self.solver == "mu":
+            return True
+        return self.x_link == "linear" and self.sg_sample_ratio >= 1.0
 
     def _stays_sparse(self, A) -> bool:
         """Will this host matrix remain CSR/chunked on device (i.e. NOT a
@@ -314,12 +317,12 @@ class CMF(BaseEstimator, TransformerMixin):
         if Y is not None:
             Y = check_matrix(Y, "Y", require_non_negative=mu)
         if self.sparse_mode == "chunked":
-            if self.solver != "mu":
+            if self.solver == "newton" and not self._chunked_ok():
                 raise ValueError(
-                    "sparse_mode='chunked' is the MU streaming path; "
-                    "Newton's per-row terms consume CSR/dense operands — "
-                    "use sparse_mode='csr'/'dense' or n_shards to row-"
-                    "shard")
+                    "sparse_mode='chunked' supports Newton only with "
+                    "x_link='linear' and sg_sample_ratio=1.0 (the "
+                    "streamed U pass); use sparse_mode='csr'/'dense' or "
+                    "n_shards to row-shard")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1:
                 raise ValueError(

@@ -208,6 +208,69 @@ def chunked_inner(X: ChunkedCoo, M: jnp.ndarray, B: jnp.ndarray):
     return acc
 
 
+def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
+                                 l1, l2, *, trials: int,
+                                 non_negative: bool):
+    """One streamed Newton U leg (linear link, full batch, Gauss-Newton):
+    semantics bit-matched to solvers/newton.newton_update_factor —
+    shared H = BtB + (l2+pert)·I (Hinv precomputed by the caller), per-row
+    backtracking line search on φ, projection before φ — while streaming
+    X once and accumulating V's X-side (XᵀU_new, U_newᵀU_new), mirroring
+    the fused Pallas kernel's contract (ops/pallas/newton_fused.py).
+
+    row_sq: (n,) per-row ‖xᵢ‖² (fit-time constant, as_coupled).
+    Returns (U_new[:n], numV, gramU).
+    """
+    n, m = X.shape
+    k = U.shape[1]
+    Up = _pad_rows(U, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+    rs = jnp.pad(row_sq, (0, X.n_pad - n)) if row_sq.shape[0] != X.n_pad \
+        else row_sq
+    rs = rs.reshape(X.n_chunks, X.chunk_rows)
+    steps = 0.5 ** jnp.arange(trials, dtype=U.dtype) if trials > 0 else None
+
+    def project(Mc):
+        return jnp.maximum(Mc, 0.0) if non_negative else Mc
+
+    def body(carry, inp):
+        numV, gramU = carry
+        dv, cv, rv, uc, rsc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        DB = matmul(Xc, V)
+        G = matmul(uc, BtB) - DB + l1 * jnp.sign(uc) + l2 * uc
+        d = matmul(G, Hinv)          # Hinv symmetric: (H⁻¹ Gᵀ)ᵀ = G H⁻¹
+        if trials <= 0:
+            u_new = project(uc - d)
+        else:
+            def phi(Mc):
+                quad = jnp.sum(matmul(Mc, BtB) * Mc, axis=1)
+                res = 0.5 * (rsc - 2.0 * jnp.sum(DB * Mc, axis=1) + quad)
+                return res + l1 * jnp.sum(jnp.abs(Mc), axis=1) \
+                    + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
+
+            phi0 = phi(uc)
+
+            def trial(_, s):
+                Mc = project(uc - s * d)
+                return None, (Mc, phi(Mc))
+
+            _, (cands, phis) = jax.lax.scan(trial, None, steps)
+            accepted = phis < phi0[None, :]
+            first = jnp.argmax(accepted, axis=0)
+            any_acc = jnp.any(accepted, axis=0)
+            chosen = jnp.take_along_axis(
+                cands, first[None, :, None], axis=0)[0]
+            u_new = jnp.where(any_acc[:, None], chosen, uc)
+        numV = numV + matmul(Xc.T, u_new)
+        gramU = gramU + matmul(u_new.T, u_new)
+        return (numV, gramU), u_new
+
+    acc0 = (jnp.zeros((m, k), U.dtype), jnp.zeros((k, k), U.dtype))
+    (numV, gramU), ys = jax.lax.scan(
+        body, acc0, (X.data, X.cols, X.rows, Up, rs))
+    return ys.reshape(X.n_pad, k)[:n], numV, gramU
+
+
 def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
     """One streamed MU iteration leg: update U and accumulate V's X-side
     terms in the SAME pass over X (the fused-kernel contract,

@@ -345,11 +345,17 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                       use_pallas=cfg.use_pallas)
         numv_x = gram_u = None
 
-        if cfg.update_U:
-            if fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
-                from ..ops.pallas.newton_fused import \
-                    fused_newton_linear_u_pass
+        from ..ops.chunked import is_chunked as _is_ck
 
+        if cfg.update_U:
+            chunked = _is_ck(X.A)
+            if chunked and not (cfg.x_link == LINEAR
+                                and cfg.sg_sample_ratio >= 1.0):
+                raise NotImplementedError(
+                    "chunked-streaming X supports full-batch linear-link "
+                    "Newton only; use sparse_mode='csr'/'dense' or "
+                    "n_shards for sigmoid/sampled X")
+            if chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
                 k = U.shape[1]
                 l1 = hyper.alpha * hyper.l1_ratio
                 l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
@@ -358,10 +364,23 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 H = BtB + (l2 + hyper.hessian_pertubation) * eye
                 c, low = jax.scipy.linalg.cho_factor(H)
                 Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
-                U, numv_x, gram_u = fused_newton_linear_u_pass(
-                    X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
-                    trials=cfg.line_search_trials,
-                    non_negative=cfg.U_non_negative)
+                if chunked:
+                    # streamed scatter+MXU pass (ops/chunked.py): same
+                    # math, same accumulator contract as the fused kernel
+                    from ..ops.chunked import chunked_newton_linear_u_pass
+
+                    U, numv_x, gram_u = chunked_newton_linear_u_pass(
+                        X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
+                        trials=cfg.line_search_trials,
+                        non_negative=cfg.U_non_negative)
+                else:
+                    from ..ops.pallas.newton_fused import \
+                        fused_newton_linear_u_pass
+
+                    U, numv_x, gram_u = fused_newton_linear_u_pass(
+                        X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
+                        trials=cfg.line_search_trials,
+                        non_negative=cfg.U_non_negative)
             else:
                 U = newton_update_factor(
                     kU, U, (Term(X.A, V, X.A_bell or X.A_tiled, X.row_sq),),
@@ -376,7 +395,17 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 kZ, Z, (zterm,), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
-            if is_sparse(X.A):
+            if _is_ck(X.A):
+                if numv_x is None:
+                    raise NotImplementedError(
+                        "chunked-streaming X needs the U pass to produce "
+                        "V's X-side terms (update_U=True); use "
+                        "sparse_mode='csr'/'dense' for V-only updates")
+                # D is a placeholder: with DB/BtB given the linear-link
+                # term never reads it (_accumulate_term)
+                terms = (Term(X.A, U, None, X.row_sq_t,
+                              DB=numv_x, BtB=gram_u),)
+            elif is_sparse(X.A):
                 terms = (Term(X.At, U, X.At_bell or X.At_tiled,
                               X.row_sq_t),)
             elif numv_x is not None:
@@ -431,9 +460,15 @@ def _aux_loss(cfg: SolverConfig):
 
 
 def _aux_ok(cfg: SolverConfig, X: Coupled, U0) -> bool:
-    """Aux loss needs the fused U-pass (fresh XᵀU_new each step), a linear
-    X link (the identity), and not the small-mixed-precision cancellation
-    regime (mirrors solvers/mu.py:_aux_ok)."""
+    """Aux loss needs a single-X-pass U update emitting fresh XᵀU_new
+    each step (fused kernel OR chunked stream), a linear X link (the
+    identity), and not the small-mixed-precision cancellation regime
+    (mirrors solvers/mu.py:_aux_ok)."""
+    from ..ops.chunked import is_chunked as _is_ck
+
+    if _is_ck(X.A):
+        return (cfg.update_U and cfg.update_V and cfg.x_link == LINEAR
+                and cfg.sg_sample_ratio >= 1.0 and X.a_sq is not None)
     if not fused_newton_u_allowed(cfg, X.A, X.row_sq, U0):
         return False
     if X.a_sq is None:

@@ -96,10 +96,14 @@ def as_coupled(A, dtype, use_pallas: bool = False,
                 "use data_dtype='bfloat16' for beyond-threshold X")
         from ..ops.chunked import chunked_from_scipy
 
-        sq64 = np.asarray(A.multiply(A).sum())
+        Asq = A.multiply(A)
         return Coupled(
             chunked_from_scipy(A, dtype=dtype),
-            a_sq=jnp.asarray(sq64, dtype=fdt))
+            row_sq=jnp.asarray(np.asarray(Asq.sum(axis=1)).ravel(),
+                               dtype=fdt),
+            row_sq_t=jnp.asarray(np.asarray(Asq.sum(axis=0)).ravel(),
+                                 dtype=fdt),
+            a_sq=jnp.asarray(np.asarray(Asq.sum()), dtype=fdt))
     if mode == "csr" and dtype in FP8_DTYPES:
         # The storage layer owns this rule so fit, transform, and direct
         # callers all get the clean error (CSR segment ops have no fp8

@@ -136,11 +136,14 @@ class TestChunkedEstimator:
         h = np.array(m.loss_history_)
         assert np.all(np.diff(h) <= 1e-10 * h[0])
 
-    def test_newton_chunked_raises(self, rng, Xs):
+    def test_newton_chunked_linear_supported(self, rng, Xs):
+        """Round-3 extension: full-batch linear Newton streams chunks
+        (TestChunkedNewton has the parity tests); only the sampled
+        variant is rejected."""
         Y = np.abs(rng.randn(90, 6))
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(n_components=5, solver="newton",
-                sparse_mode="chunked").fit(Xs, Y)
+        m = CMF(n_components=5, solver="newton", sparse_mode="chunked",
+                max_iter=3, random_state=0).fit(Xs, Y)
+        assert np.isfinite(m.reconstruction_err_)
 
     def test_sharded_chunked_raises(self, rng, Xs):
         with pytest.raises(ValueError, match="chunked"):
@@ -176,3 +179,74 @@ class TestChunkedEstimator:
         Cf = as_coupled(Xs, jnp.float32, sparse_mode="auto",
                         densify_threshold=thr)
         assert is_sparse(Cf.A)
+
+
+class TestChunkedNewton:
+    """Full-batch linear-link Newton through the streamed chunked pass
+    (chunked_newton_linear_u_pass + DB/BtB-fed V update)."""
+
+    def _inits(self, rng):
+        return (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                np.abs(rng.randn(6, 5)))
+
+    def test_matches_dense_path(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=8, tol=0.0,
+                  dtype="float64", random_state=0)
+        md = CMF(sparse_mode="dense", use_pallas=True, **kw).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(mc.V_, md.V_, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(mc.loss_history_, md.loss_history_,
+                                   rtol=1e-10)
+
+    def test_device_loop_matches_host(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, sparse_mode="chunked")
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(md.U_, mh.U_, rtol=1e-12)
+        np.testing.assert_allclose(md.loss_history_, mh.loss_history_,
+                                   rtol=1e-12)
+
+    def test_sigmoid_y_works(self, rng, Xs):
+        """Chunked X + sigmoid-linked Y: only X streams; Y is dense."""
+        Y = np.abs(rng.randn(90, 6))
+        Yb = (Y > np.median(Y)).astype(float)
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, y_link="sigmoid")
+        md = CMF(sparse_mode="dense", **kw).fit(Xs, Yb, U=U0, V=V0, Z=Z0)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xs, Yb, U=U0, V=V0,
+                                                  Z=Z0)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-10, atol=1e-12)
+
+    def test_non_negative_projection(self, rng, Xs):
+        U0, V0, _ = self._inits(rng)
+        m = CMF(n_components=5, solver="newton", max_iter=8, tol=0.0,
+                sparse_mode="chunked", random_state=0, dtype="float64")
+        m.fit(Xs, None, U=U0, V=V0)
+        assert (m.U_ >= 0).all() and (m.V_ >= 0).all()
+
+    def test_sampled_chunked_raises(self, rng, Xs):
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(n_components=5, solver="newton", sparse_mode="chunked",
+                sg_sample_ratio=0.5).fit(Xs)
+
+    def test_negative_data_allowed(self, rng):
+        """Newton accepts negative X — the chunked layout must too."""
+        Xn = sp.csr_matrix(rng.randn(137, 90)
+                           * (rng.rand(137, 90) > 0.85))
+        U0, V0, _ = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, U_non_negative=False,
+                  V_non_negative=False, Z_non_negative=False)
+        md = CMF(sparse_mode="dense", **kw).fit(Xn, None, U=U0 - 0.5,
+                                                V=V0 - 0.5)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xn, None, U=U0 - 0.5,
+                                                  V=V0 - 0.5)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-9, atol=1e-11)
