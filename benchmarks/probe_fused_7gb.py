@@ -51,6 +51,15 @@ def main() -> None:
         V2 = V * (numV + 1e-10) / (V @ gramU + 1e-10)
         return U2, V2
 
+    ITERS = 10
+
+    @jax.jit
+    def many(Xb, U, V):
+        def body(_, uv):
+            return one_iter(Xb, *uv)
+
+        return jax.lax.fori_loop(0, ITERS, body, (U, V))
+
     def timeit(f, *args, reps=4):
         out = f(*args)
         np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0][:1]))
@@ -65,10 +74,19 @@ def main() -> None:
 
     t, ts = timeit(one_iter, Xb, U, V)
     gb = n * m * 2 / 1e9
-    print(f"fused MU iteration (one bf16 X pass): {t * 1e3:.1f} ms "
+    print(f"fused MU iteration (single dispatch): {t * 1e3:.1f} ms "
           f"({gb / t:.0f} GB/s; vs 374 ms segment-sum 2-pass = "
           f"{374 / (t * 1e3):.1f}x) {[round(x * 1e3, 1) for x in ts]}",
           flush=True)
+    # per-dispatch tunnel RTT dominates a single iteration; the in-jit
+    # loop gives the true marginal per-iteration cost (measured 8.8 ms =
+    # 411 GB/s = 42.5x segment-sum on 2026-08-17)
+    t, ts = timeit(many, Xb, U, V)
+    t /= ITERS
+    print(f"fused MU per-iter (amortized over {ITERS}): {t * 1e3:.1f} ms "
+          f"({gb / t:.0f} GB/s; vs 374 ms segment-sum = "
+          f"{374 / (t * 1e3):.1f}x) "
+          f"{[round(x / ITERS * 1e3, 1) for x in ts]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,24 @@ def main():
     print(f"{d}-way sharded: {t_sharded:.2f}s, loss {sharded.reconstruction_err_:.6g}")
     print(f"|loss gap| = {gap:.3g} (sharded psum ≡ same sum, fp-order only)")
 
+    # 2-D grid layout: X sharded over BOTH mesh axes (for problems
+    # jointly huge in n and m, where neither 1-D layout's replicated
+    # factor fits a chip) — each factor psums over the other axis only.
+    if d >= 4 and d % 2 == 0:
+        grid = CMF(n_components=k, solver="mu", random_state=0,
+                   max_iter=50, tol=0.0, n_shards=(2, d // 2),
+                   shard_layout="grid")
+        t0 = time.time()
+        grid.fit(X, Y)
+        t_grid = time.time() - t0
+        ggap = abs(single.reconstruction_err_ - grid.reconstruction_err_)
+        print(f"2x{d // 2} grid: {t_grid:.2f}s, "
+              f"loss {grid.reconstruction_err_:.6g} (|gap| {ggap:.3g})")
+
+    # sharded fold-in: transform() uses the same mesh (V replicated)
+    U_new = sharded.transform(X[:256])
+    print(f"sharded transform fold-in: {U_new.shape}")
+
 
 if __name__ == "__main__":
     main()
