@@ -556,6 +556,15 @@ class CMF(BaseEstimator, TransformerMixin):
                                               hyper, rng, **kw)
         return np.asarray(jax.device_get(Uf), dtype=np.float64)
 
+    def get_feature_names_out(self, input_features=None):
+        """sklearn-pipeline compatibility: names of the k output columns
+        (the transformed U's components)."""
+        if not hasattr(self, "n_components_"):
+            raise AttributeError(
+                "get_feature_names_out is only available after fit")
+        return np.asarray([f"cmf{i}" for i in range(self.n_components_)],
+                          dtype=object)
+
     @property
     def components_(self):
         """sklearn-NMF-style components (k × m): X ≈ transform(X) @ components_."""

@@ -88,3 +88,24 @@ class TestStreamedInner:
         monkeypatch.setattr(losses, "_BLOCK_ELEMS", 40 * 16)
         blocked = float(losses.streamed_inner(A, M, B))
         np.testing.assert_allclose(blocked, whole, rtol=1e-5)
+
+
+class TestSklearnPipelineCompat:
+    def test_get_feature_names_out(self, rng):
+        X = np.abs(rng.rand(40, 30))
+        m = CMF(n_components=3, max_iter=5, random_state=0).fit(X)
+        assert list(m.get_feature_names_out()) == ["cmf0", "cmf1", "cmf2"]
+
+    def test_unfitted_raises(self):
+        with pytest.raises(AttributeError):
+            CMF(n_components=3).get_feature_names_out()
+
+    def test_pipeline_transform_chain(self, rng):
+        from sklearn.pipeline import Pipeline
+
+        X = np.abs(rng.rand(40, 30))
+        p = Pipeline([("cmf", CMF(n_components=3, max_iter=5,
+                                  random_state=0))])
+        p.fit(X)
+        U = p.transform(X)
+        assert U.shape == (40, 3)
