@@ -27,7 +27,7 @@ def _data(rng, sparse, binary, negatives):
 SOLVERS = ["mu", "newton"]
 LINKS = ["linear", "sigmoid"]
 SPARSE = [False, True]
-MODES = ["auto", "csr", "dense"]
+MODES = ["auto", "csr", "dense", "chunked"]
 
 
 class TestConfigMatrix:
@@ -94,3 +94,23 @@ class TestConfigMatrix:
         Xn, Yn = _data(rng, sparse=False, binary=False, negatives=True)
         with pytest.raises(ValueError, match="negative"):
             CMF(n_components=3, solver="mu", max_iter=2).fit(Xn, Yn)
+
+
+class TestGridConfigMatrix:
+    """Grid-layout sweep: solver x loop x data_dtype combos fit clean."""
+
+    @pytest.mark.parametrize(
+        "solver,loop_mode,ddt",
+        list(itertools.product(SOLVERS, ["host", "device"],
+                               [None, "bfloat16"])))
+    def test_grid_combos(self, rng, solver, loop_mode, ddt):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        X, Y = _data(rng, sparse=False, binary=False, negatives=False)
+        m = CMF(n_components=3, solver=solver, n_shards=(2, 2),
+                shard_layout="grid", loop=loop_mode, max_iter=3, tol=0.0,
+                random_state=0, data_dtype=ddt)
+        m.fit(X, Y)
+        assert np.isfinite(m.reconstruction_err_)
+        assert np.all(np.isfinite(m.U_))
+        assert np.all(np.isfinite(m.V_))
