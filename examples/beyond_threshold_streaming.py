@@ -17,10 +17,18 @@ decision tree), demonstrated here on a small problem by forcing each mode:
 
 Run: python examples/beyond_threshold_streaming.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import scipy.sparse as sp
 
 from pycmf_tpu import CMF
+from pycmf_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 rng = np.random.RandomState(0)
 n, m, k = 5000, 3000, 16

@@ -324,11 +324,11 @@ class CMF(BaseEstimator, TransformerMixin):
                     "streamed U pass); use sparse_mode='csr'/'dense' or "
                     "n_shards to row-shard")
             ns = self._resolve_n_shards()
-            if ns is not None and ns > 1:
+            if ns is not None and ns > 1 and self.shard_layout != "rows":
                 raise ValueError(
-                    "sparse_mode='chunked' is the SINGLE-chip streaming "
-                    "path; the sharded runner densifies or keeps CSR per "
-                    "shard — use sparse_mode='auto' with n_shards")
+                    "sparse_mode='chunked' shards only in the rows "
+                    "layout (per-shard streaming); use "
+                    "shard_layout='rows' or sparse_mode='auto'")
         if self._resolve_data_dtype() in _FP8:
             # fp8 is the dense fused-kernel fast path only: CSR segment ops
             # and the sharded runner's per-shard layouts stay bf16/f32.

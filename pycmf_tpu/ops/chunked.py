@@ -208,6 +208,44 @@ def chunked_inner(X: ChunkedCoo, M: jnp.ndarray, B: jnp.ndarray):
     return acc
 
 
+def stack_chunked_blocks(blocks, dtype, *,
+                         buffer_bytes: int = DEFAULT_BUFFER_BYTES
+                         ) -> ChunkedCoo:
+    """Per-shard ChunkedCoo layouts stacked on a leading device dim
+    (shard_map operand; the sharded runner's `_local_chunked` drops it).
+
+    All blocks must share .shape (the LOCAL shape). Every shard gets the
+    SAME static (chunk_rows, n_chunks, L): chunk geometry is part of the
+    traced program, which must be identical across devices.
+    """
+    local_shape = blocks[0].shape
+    R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes)
+    cks = [chunked_from_scipy(b, dtype=dtype, chunk_rows=R)
+           for b in blocks]
+    C = max(x.n_chunks for x in cks)
+    L = max(x.data.shape[1] for x in cks)
+    d, cc, rl, sq = [], [], [], []
+    for x in cks:
+        padC = C - x.n_chunks
+        padL = L - x.data.shape[1]
+        d.append(np.pad(np.asarray(x.data), ((0, padC), (0, padL))))
+        cc.append(np.pad(np.asarray(x.cols), ((0, padC), (0, padL))))
+        rl.append(np.pad(np.asarray(x.rows), ((0, padC), (0, padL))))
+        sq.append(np.asarray(x.sq_norm))
+    return ChunkedCoo(
+        jnp.asarray(np.stack(d), dtype=dtype),
+        jnp.asarray(np.stack(cc)),
+        jnp.asarray(np.stack(rl)),
+        jnp.asarray(np.stack(sq)),
+        local_shape, R)
+
+
+def local_chunked(stk: ChunkedCoo) -> ChunkedCoo:
+    """Inside shard_map: drop the (length-1) leading device dim."""
+    return ChunkedCoo(stk.data[0], stk.cols[0], stk.rows[0],
+                      stk.sq_norm[0], stk.shape, stk.chunk_rows)
+
+
 def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
                                  l1, l2, *, trials: int,
                                  non_negative: bool):

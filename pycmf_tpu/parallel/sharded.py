@@ -175,7 +175,10 @@ def _local_bell(stk):
 class _RowOperands(NamedTuple):
     """Device operands for the rows layout (leading dims sharded over AXIS)."""
     X: object            # dense (n_pad, m) | stacked CsrMatrix (d, ...)
-    Xt: object           # None (dense) | stacked CsrMatrix of local transposes
+                         # | stacked ChunkedCoo (streaming layout)
+    Xt: object           # None (dense/chunked) | stacked CsrMatrix of
+                         # local transposes (chunked needs none: both
+                         # orientations stream from one layout)
     Y: object            # replicated dense (m, r) | CsrMatrix | None
     Yt: object
     mask: jnp.ndarray    # (n_pad,) 1.0 on real rows
@@ -206,12 +209,16 @@ def _aux_zero_rows(U, V, Z):
 
 
 def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
-                  data_dtype=None):
+                  data_dtype=None, chunked: str = "never"):
     """Split X by rows into d blocks; pad; build transposes per block.
 
     data_dtype: storage dtype for the X/Y shards (None = dtype). bf16
     halves each chip's HBM data-pass traffic exactly as on one chip;
-    factors, masks, and norms stay at ``dtype``/f32."""
+    factors, masks, and norms stay at ``dtype``/f32.
+
+    chunked: 'never' | 'auto' (stream per-shard chunked-COO when the
+    BlockEll layout refuses — scattered sparsity too big to densify
+    locally) | 'force' (sparse_mode='chunked')."""
     from ..ops.pallas.spmm import b_fits_vmem
 
     ddt = dtype if data_dtype is None else data_dtype
@@ -232,9 +239,8 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
                     (n_loc - blk.shape[0], m))]).tocsr()
             blocks.append(blk)
             tblocks.append(blk.T.tocsr())
-        Xd = _stack_csr_blocks(blocks, ddt)
-        Xtd = _stack_csr_blocks(tblocks, ddt)
-        if use_pallas:
+        want_chunked = chunked == "force"
+        if not want_chunked and use_pallas:
             from ..ops.pallas.policy import kernel_enabled
 
             if kernel_enabled("bell_spmm"):
@@ -252,11 +258,26 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
+        if not want_chunked and chunked == "auto" and X_bell is None:
+            # scattered sparsity too big to densify per shard: the
+            # streaming layout beats segment-sum (docs/PERFORMANCE.md)
+            want_chunked = True
+        if want_chunked:
+            # Per-shard streaming chunked-COO (ops/chunked.py): one
+            # layout serves BOTH orientations; no CSR upload at all.
+            from ..ops.chunked import stack_chunked_blocks
+
+            Xd = stack_chunked_blocks(blocks, ddt)
+            Xtd = None
+        else:
+            Xd = _stack_csr_blocks(blocks, ddt)
+            Xtd = _stack_csr_blocks(tblocks, ddt)
+        if not want_chunked and use_pallas and X_bell is None:
             from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
 
             kernels_usable = (jax.default_backend() != "tpu"
                               or tpu_spmm_kernel_enabled())
-            if X_bell is None and kernels_usable:
+            if kernels_usable:
                 # single-chunk tiled layouts (fall back to segment ops when
                 # the dense operand would overflow VMEM)
                 if b_fits_vmem(m):
@@ -403,8 +424,14 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
 def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
                hyper: Hyper):
     """L(U,V,Z) with U and X row-sharded: psum the X-side contributions."""
+    from ..ops.chunked import chunked_inner, is_chunked, local_chunked
+
     if cfg.x_link == LINEAR:
-        if is_sparse(ops.X):
+        if is_chunked(ops.X):
+            Xl = local_chunked(ops.X)
+            a_sq = Xl.sq_norm
+            inner = chunked_inner(Xl, U, V)
+        elif is_sparse(ops.X):
             Xl = _local_csr(ops.X)
             a_sq = Xl.sq_norm
             if cfg.use_pallas and ops.Xt_bell is not None:
@@ -479,10 +506,14 @@ def _rows_aux_ok(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
     U-pass. x_link must be linear (the factored identity)."""
     from ..ops.links import LINEAR as _LIN
 
+    from ..ops.chunked import is_chunked
+
     if not (cfg.update_U and cfg.update_V and cfg.x_link == _LIN):
         return False
     if ops.row_sq is None:
         return False
+    if is_chunked(ops.X):
+        return True  # the chunked step always emits the aux pair
     if not is_sparse(ops.X) and ops.X.dtype != U.dtype \
             and ops.X.size < (1 << 22):
         return False  # small mixed-precision: identity cancellation
@@ -490,10 +521,13 @@ def _rows_aux_ok(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
 
 
 def _rows_aux_ok_newton(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
+    from ..ops.chunked import is_chunked
     from ..solvers.newton import fused_newton_u_allowed
 
     if not _rows_aux_ok(cfg, ops, U):
         return False
+    if is_chunked(ops.X):
+        return cfg.sg_sample_ratio >= 1.0
     return fused_newton_u_allowed(cfg, ops.X, ops.row_sq, U)
 
 
@@ -504,6 +538,12 @@ def _rows_aux_ok_newton(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
 
 def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
     """X_loc @ B (or X_locᵀ @ B) with the fastest available sparse path."""
+    from ..ops.chunked import (chunked_spmm, chunked_spmm_t, is_chunked,
+                               local_chunked)
+
+    if is_chunked(ops.X):
+        Xl = local_chunked(ops.X)
+        return chunked_spmm_t(Xl, B) if transpose else chunked_spmm(Xl, B)
     if not is_sparse(ops.X):
         Xl = ops.X
         return matmul(Xl.T if transpose else Xl, B)
@@ -534,14 +574,17 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
     — already reduced for the V update, they let the fit loop evaluate the
     loss with no extra pass over X and no extra collective (_aux_loss_rows).
     """
+    from ..ops.chunked import is_chunked, local_chunked
+
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
     up = cfg.use_pallas
+    chunk = is_chunked(ops.X)
 
     fused = False
-    if up and cfg.update_U and cfg.update_V and not is_sparse(ops.X) \
-            and U.dtype != jnp.bfloat16:
+    if up and cfg.update_U and cfg.update_V and not chunk \
+            and not is_sparse(ops.X) and U.dtype != jnp.bfloat16:
         from ..ops.pallas.policy import kernel_enabled
 
         fused = kernel_enabled("fused_mu_u_pass")
@@ -549,7 +592,14 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
     num_vx = gram_u = None
     VtV = gram(V) if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None
     if cfg.update_U:
-        if fused:
+        if chunk and cfg.update_V:
+            # streamed single-X-pass per shard: the scan's accumulators
+            # are exactly the shared-V terms the layout psums below
+            from ..ops.chunked import chunked_mu_u_pass
+
+            U, num_vx, gram_u = chunked_mu_u_pass(
+                local_chunked(ops.X), U, V, VtV, l1, l2, eps)
+        elif fused:
             from ..ops.pallas.mu_fused import fused_mu_u_pass
 
             U, num_vx, gram_u = fused_mu_u_pass(ops.X, U, V, VtV,
@@ -706,10 +756,13 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
+    from ..ops.chunked import is_chunked, local_chunked
     from ..solvers.newton import Term, fused_newton_u_allowed
 
+    chunk = is_chunked(ops.X)
     sparse_x = is_sparse(ops.X)
-    Xl = _local_csr(ops.X) if sparse_x else ops.X
+    Xl = (local_chunked(ops.X) if chunk
+          else _local_csr(ops.X) if sparse_x else ops.X)
     # Term.tiled accepts either a TiledCsr or a BlockEll; prefer the MXU
     # block-sparse layout (newton_update_factor dispatches on the type).
     X_tl = Xt_tl = None
@@ -723,10 +776,34 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
         elif ops.Xt_tiled is not None:
             Xt_tl = _local_tiled(ops.Xt_tiled)
 
+    chunk_pass = (chunk and cfg.x_link == LINEAR
+                  and cfg.sg_sample_ratio >= 1.0)
     fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
     numv_x = gram_u = None
     if cfg.update_U:
-        if fused:
+        if chunk_pass:
+            # Streamed per-shard single-X-pass (ops/chunked.py): same
+            # accumulator contract as the fused kernel branch below.
+            from ..ops.chunked import chunked_newton_linear_u_pass
+
+            k = U.shape[1]
+            l1 = hyper.alpha * hyper.l1_ratio
+            l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+            BtB = gram(V)
+            eye = jnp.eye(k, dtype=U.dtype)
+            H = BtB + (l2 + hyper.hessian_pertubation) * eye
+            c, low = jax.scipy.linalg.cho_factor(H)
+            Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+            U, numv_x, gram_u = chunked_newton_linear_u_pass(
+                Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
+                trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative)
+        elif chunk:
+            raise NotImplementedError(
+                "chunked-streaming sharded X supports full-batch "
+                "linear-link Newton only; use sparse_mode='csr' for "
+                "sigmoid/sampled X")
+        elif fused:
             # Single local X pass: Newton row updates are row-local, and the
             # kernel's XᵀU_new / U_newᵀU_new accumulators are exactly the
             # shared-V contributions this layout psums below.
@@ -758,7 +835,10 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             non_negative=cfg.Z_non_negative, **common)
     aux = None
     if cfg.update_V:
-        Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
+        # chunked: Xl itself is the placeholder D (every V-term below
+        # supplies DB/BtB, so D is never read for linear links)
+        Xtl = (Xl if chunk
+               else _local_csr(ops.Xt) if sparse_x else Xl.T)
         if numv_x is not None:
             # Reduce the fused U-pass accumulators ONCE; the V update then
             # sees an already-global X-side term (dist=False) with the
@@ -769,6 +849,14 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             terms = (Term(Xtl, U, None, ops.row_sq_t_glob,
                           DB=num_glob, BtB=gram_glob),)
             dist = (False,)
+        elif chunk:
+            # V-only update (e.g. frozen-U fits) on chunked X: the local
+            # Xᵀ U and UᵀU partials feed the distributed machinery
+            from ..ops.chunked import chunked_spmm_t
+
+            terms = (Term(Xtl, U, None, ops.row_sq_t[0],
+                          DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+            dist = (True,)
         else:
             terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
             dist = (True,)
@@ -916,7 +1004,10 @@ def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
 
 
 def _shard_specs_rows(ops: _RowOperands):
-    x_spec = P(AXIS) if is_sparse(ops.X) else P(AXIS, None)
+    from ..ops.chunked import is_chunked
+
+    x_spec = (P(AXIS) if is_sparse(ops.X) or is_chunked(ops.X)
+              else P(AXIS, None))
     xt_spec = None if ops.Xt is None else P(AXIS)
     y_spec = None if ops.Y is None else P()
     yt_spec = None if ops.Yt is None else P()
@@ -1055,20 +1146,29 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = U0.shape[1]
 
-    if sp.issparse(X) and sparse_mode != "csr":
+    if sparse_mode == "chunked" and layout != "rows":
+        raise ValueError(
+            "sparse_mode='chunked' is supported with shard_layout='rows' "
+            "(per-shard streaming); use 'auto'/'csr' for the cols layout")
+    if sp.issparse(X) and sparse_mode not in ("csr", "chunked"):
         from ..utils.validation import DENSIFY_THRESHOLD
 
         n, m = X.shape
         local = (-(-n // d)) * m if layout == "rows" else n * (-(-m // d))
-        if sparse_mode == "dense" or local * 4 <= DENSIFY_THRESHOLD:
+        item = (jnp.dtype(data_dtype).itemsize if data_dtype is not None
+                else jnp.dtype(dtype).itemsize)
+        if sparse_mode == "dense" or local * item <= DENSIFY_THRESHOLD:
             # NB single-controller: the HOST materializes the full dense
             # matrix while splitting; each chip's HBM holds only its shard.
             X = np.asarray(X.todense())
 
     if layout == "rows":
+        chunked = ("force" if sparse_mode == "chunked"
+                   else "auto" if sparse_mode == "auto" else "never")
         ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype,
                                       use_pallas=cfg.use_pallas,
-                                      data_dtype=data_dtype)
+                                      data_dtype=data_dtype,
+                                      chunked=chunked)
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))

@@ -105,11 +105,15 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                      use_pallas: bool = False, db=None, btb=None):
     """Return (G_term (p,k), H_shared (k,k) | None, H_rows (p,k,k) | None,
     line-search ctx) for one coupled term."""
+    from ..ops.chunked import chunked_spmm, is_chunked
+
     if link == LINEAR:
         # Zero-padded B rows (sharding) contribute 0 to BtB/DB — no mask.
         BtB = gram(B) if btb is None else btb
         if db is not None:
             DB = db
+        elif is_chunked(D):
+            DB = chunked_spmm(D, B)   # streamed scatter+MXU pass
         elif is_sparse(D):
             if use_pallas and tiled is not None:
                 from ..ops.pallas.bell import BlockEll
@@ -128,6 +132,11 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
             DB = matmul(D, B)
         G = matmul(M, BtB) - DB
         if row_sq is None:
+            if is_chunked(D):
+                raise ValueError(
+                    "chunked-COO Newton terms need precomputed row_sq "
+                    "(per-nonzero norms are a fit-time constant — see "
+                    "as_coupled)")
             if is_sparse(D):
                 row_sq = row_sq_norms(D)
             else:
@@ -135,13 +144,13 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                 row_sq = jnp.sum(Df * Df, axis=1)
         return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
 
-    if is_sparse(D):
+    if is_sparse(D) or is_chunked(D):
         # Unreachable through the estimator (sigmoid-linked inputs are
         # densified at fit time); direct solver callers must densify too.
         raise NotImplementedError(
             "Newton sigmoid-link terms need dense D (the update "
             "materializes dense sigmoid predictions anyway); densify the "
-            "CSR matrix before building the Term")
+            "CSR/chunked matrix before building the Term")
     P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
     R = P - D.astype(P.dtype)
     fp = P * (1.0 - P)
@@ -319,10 +328,13 @@ def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
     """Static check for the single-X-pass Newton U update (newton_fused.py):
     linear-link dense full-batch U with the V update to consume the
     XᵀU_new/gramU accumulators."""
+    from ..ops.chunked import is_chunked as _is_ck
+
     if not (cfg.use_pallas and cfg.update_U and cfg.update_V
             and cfg.x_link == LINEAR and cfg.sg_sample_ratio >= 1.0):
         return False
-    if is_sparse(A) or U.dtype == jnp.bfloat16 or row_sq is None:
+    if is_sparse(A) or _is_ck(A) or U.dtype == jnp.bfloat16 \
+            or row_sq is None:
         return False
     from ..ops.pallas.policy import kernel_enabled
 

@@ -145,10 +145,11 @@ class TestChunkedEstimator:
                 max_iter=3, random_state=0).fit(Xs, Y)
         assert np.isfinite(m.reconstruction_err_)
 
-    def test_sharded_chunked_raises(self, rng, Xs):
-        with pytest.raises(ValueError, match="chunked"):
+    def test_sharded_chunked_cols_raises(self, rng, Xs):
+        """Per-shard chunked streaming is a rows-layout feature."""
+        with pytest.raises(ValueError, match="rows"):
             CMF(n_components=5, solver="mu", sparse_mode="chunked",
-                n_shards=2).fit(Xs)
+                n_shards=2, shard_layout="cols").fit(Xs)
 
     def test_fp8_chunked_raises(self, rng, Xs):
         from pycmf_tpu.utils.validation import as_coupled
@@ -250,3 +251,90 @@ class TestChunkedNewton:
         mc = CMF(sparse_mode="chunked", **kw).fit(Xn, None, U=U0 - 0.5,
                                                   V=V0 - 0.5)
         np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-9, atol=1e-11)
+
+
+class TestShardedChunked:
+    """Per-shard chunked streaming in the rows layout: each shard scans
+    its own COO chunks; the shared-V psums are unchanged, so the fit must
+    match BOTH the single-device chunked fit and the sharded CSR fit."""
+
+    def _inits(self, rng):
+        return (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                np.abs(rng.randn(6, 5)))
+
+    @pytest.fixture(autouse=True)
+    def _need_devices(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+
+    def test_mu_matches_single_and_csr(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="chunked", n_shards=8, **kw).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        mcsr = CMF(sparse_mode="csr", n_shards=8, **kw).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, m1.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.V_, m1.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.loss_history_, m1.loss_history_,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(ms.U_, mcsr.U_, rtol=1e-9, atol=1e-11)
+
+    def test_newton_matches_single(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="chunked", n_shards=8, **kw).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, m1.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.V_, m1.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.loss_history_, m1.loss_history_,
+                                   rtol=1e-10)
+
+    def test_mu_device_loop_matches_host(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0, sparse_mode="chunked",
+                  n_shards=8)
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(md.U_, mh.U_, rtol=1e-12)
+        np.testing.assert_allclose(md.loss_history_, mh.loss_history_,
+                                   rtol=1e-12)
+
+    def test_sharded_transform_chunked(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        m = CMF(n_components=5, solver="mu", max_iter=10, tol=0.0,
+                dtype="float64", random_state=0,
+                sparse_mode="chunked").fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        Xn = sp.csr_matrix(np.abs(rng.randn(23, 90))
+                           * (rng.rand(23, 90) > 0.7))
+        t1 = m.transform(Xn)
+        m.n_shards = 8
+        t2 = m.transform(Xn)
+        np.testing.assert_allclose(t2, t1, rtol=1e-9, atol=1e-11)
+
+    def test_auto_prefers_chunked_over_segsum(self, rng, Xs):
+        """'auto' with a beyond-threshold local shard and no BlockEll
+        resolves to the stacked chunked layout."""
+        import jax.numpy as jnp
+
+        from pycmf_tpu.ops.chunked import is_chunked
+        from pycmf_tpu.parallel.sharded import _prepare_rows
+
+        U0 = np.abs(rng.randn(137, 5))
+        ops, _, _ = _prepare_rows(Xs, None, U0, 4, jnp.float64,
+                                  use_pallas=False, chunked="auto")
+        assert is_chunked(ops.X)
+        ops2, _, _ = _prepare_rows(Xs, None, U0, 4, jnp.float64,
+                                   use_pallas=False, chunked="never")
+        assert not is_chunked(ops2.X)
