@@ -258,11 +258,15 @@ class CMF(BaseEstimator, TransformerMixin):
             use_pallas=self._resolve_use_pallas(),
         )
 
-    def _matrix_sparse_mode(self, A, link):
+    def _matrix_sparse_mode(self, A, link, is_x: bool = True):
         """Per-matrix sparse policy. Sigmoid-linked Newton terms are
         densified: the solver materializes dense (p, q) sigmoid predictions
         regardless, so CSR storage saves no memory on the hot path and the
-        per-nonzero alternative is TPU-hostile (docs/PERFORMANCE.md)."""
+        per-nonzero alternative is TPU-hostile (docs/PERFORMANCE.md).
+        'chunked' is an X-only layout (the streamed big-matrix passes);
+        the small Y resolves it as 'auto'."""
+        if not is_x and self.sparse_mode == "chunked":
+            return "auto"
         if (self.solver == "newton" and link == "sigmoid"
                 and sp.issparse(A)):
             if self.sparse_mode == "csr":
@@ -292,7 +296,9 @@ class CMF(BaseEstimator, TransformerMixin):
             return False
         ns = self._resolve_n_shards()
         if ns is not None and ns > 1:
-            return True  # the sharded runner keeps sparse inputs CSR
+            # grid always densifies (host-side, per-cell); the 1-D
+            # layouts keep sparse inputs CSR/chunked per shard
+            return self.shard_layout != "grid"
         if self.sparse_mode == "dense":
             return False
         if self.sparse_mode in ("csr", "chunked"):
@@ -453,7 +459,7 @@ class CMF(BaseEstimator, TransformerMixin):
                             chunked_ok=self._chunked_ok())
             Yc = (as_coupled(Y, ydt, use_pallas=up,
                              sparse_mode=self._matrix_sparse_mode(
-                                 Y, self.y_link))
+                                 Y, self.y_link, is_x=False))
                   if Y is not None else None)
             U0 = jnp.asarray(U0, dtype=dt)
             V0 = jnp.asarray(V0, dtype=dt)

@@ -62,15 +62,16 @@ class ChunkedCoo:
     sq_norm: jnp.ndarray
     shape: Tuple[int, int]
     chunk_rows: int
+    true_nnz: int = -1   # actual nonzero count (static; -1 = unknown)
 
     def tree_flatten(self):
         return ((self.data, self.cols, self.rows, self.sq_norm),
-                (self.shape, self.chunk_rows))
+                (self.shape, self.chunk_rows, self.true_nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         data, cols, rows, sq_norm = leaves
-        return cls(data, cols, rows, sq_norm, aux[0], aux[1])
+        return cls(data, cols, rows, sq_norm, *aux)
 
     @property
     def n_chunks(self) -> int:
@@ -78,6 +79,12 @@ class ChunkedCoo:
 
     @property
     def nnz(self) -> int:
+        """True nonzero count (parity with CsrMatrix.nnz)."""
+        return self.true_nnz if self.true_nnz >= 0 else self.capacity
+
+    @property
+    def capacity(self) -> int:
+        """Stored entries INCLUDING the per-chunk padding (C·L)."""
         return int(self.data.shape[0] * self.data.shape[1])
 
     @property
@@ -109,12 +116,16 @@ def pick_chunk_rows(n: int, m: int,
 
 def chunked_from_scipy(A, dtype=jnp.float32, *,
                        chunk_rows: int | None = None,
-                       buffer_bytes: int = DEFAULT_BUFFER_BYTES
-                       ) -> ChunkedCoo:
+                       buffer_bytes: int = DEFAULT_BUFFER_BYTES,
+                       return_numpy: bool = False) -> ChunkedCoo:
     """Build a ChunkedCoo from a scipy.sparse matrix (host, once per fit).
 
     Device upload is the COO triplets only (~10 bytes/nnz) — the dense
     form never crosses the host↔device link nor exists in HBM.
+
+    return_numpy: keep the arrays on the host — for callers that
+    post-process the layout (the sharded runner stacks per-shard layouts)
+    before uploading ONCE (same contract as bell_from_scipy).
     """
     import scipy.sparse as sp
 
@@ -130,6 +141,17 @@ def chunked_from_scipy(A, dtype=jnp.float32, *,
     vals = A.data[order]
     counts = np.bincount(rows // R, minlength=C)
     L = max(1, int(counts.max()))
+    nnz = int(vals.size)
+    if nnz and C * L > 4 * nnz:
+        import warnings
+
+        warnings.warn(
+            f"chunked-COO padding is {C * L / nnz:.1f}x the true nnz "
+            f"({nnz} nonzeros, {C} chunks padded to {L} each): the row "
+            "distribution is heavily skewed, and storage AND per-"
+            "iteration work scale with the padded count. Consider "
+            "shuffling the rows or a different chunk_rows.",
+            UserWarning, stacklevel=2)
     d = np.zeros((C, L), dtype=np.float64)
     cc = np.zeros((C, L), dtype=np.int32)
     rl = np.zeros((C, L), dtype=np.int32)
@@ -142,12 +164,17 @@ def chunked_from_scipy(A, dtype=jnp.float32, *,
         rl[i, : e - s] = (rows[s:e] - i * R).astype(np.int32)
         # padding entries: (row 0, col 0, value 0) — scatter-ADD no-ops
     sq_dt = jnp.float32 if jnp.dtype(dtype).itemsize <= 4 else dtype
+    sq64 = np.sum(vals.astype(np.float64) ** 2)
+    if return_numpy:
+        return ChunkedCoo(d.astype(jnp.dtype(dtype)), cc, rl,
+                          np.asarray(sq64, dtype=jnp.dtype(sq_dt)),
+                          (n, m), R, nnz)
     return ChunkedCoo(
         jnp.asarray(d, dtype=dtype),
         jnp.asarray(cc),
         jnp.asarray(rl),
-        jnp.asarray(np.sum(vals.astype(np.float64) ** 2), dtype=sq_dt),
-        (n, m), R)
+        jnp.asarray(sq64, dtype=sq_dt),
+        (n, m), R, nnz)
 
 
 def _pad_rows(M: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -220,7 +247,10 @@ def stack_chunked_blocks(blocks, dtype, *,
     """
     local_shape = blocks[0].shape
     R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes)
-    cks = [chunked_from_scipy(b, dtype=dtype, chunk_rows=R)
+    # return_numpy: stack on the host and upload ONCE — per-shard device
+    # round-trips would triple the COO traffic over the slow device link
+    cks = [chunked_from_scipy(b, dtype=dtype, chunk_rows=R,
+                              return_numpy=True)
            for b in blocks]
     C = max(x.n_chunks for x in cks)
     L = max(x.data.shape[1] for x in cks)
@@ -228,22 +258,23 @@ def stack_chunked_blocks(blocks, dtype, *,
     for x in cks:
         padC = C - x.n_chunks
         padL = L - x.data.shape[1]
-        d.append(np.pad(np.asarray(x.data), ((0, padC), (0, padL))))
-        cc.append(np.pad(np.asarray(x.cols), ((0, padC), (0, padL))))
-        rl.append(np.pad(np.asarray(x.rows), ((0, padC), (0, padL))))
-        sq.append(np.asarray(x.sq_norm))
+        d.append(np.pad(x.data, ((0, padC), (0, padL))))
+        cc.append(np.pad(x.cols, ((0, padC), (0, padL))))
+        rl.append(np.pad(x.rows, ((0, padC), (0, padL))))
+        sq.append(x.sq_norm)
     return ChunkedCoo(
         jnp.asarray(np.stack(d), dtype=dtype),
         jnp.asarray(np.stack(cc)),
         jnp.asarray(np.stack(rl)),
         jnp.asarray(np.stack(sq)),
-        local_shape, R)
+        local_shape, R, sum(x.true_nnz for x in cks))
 
 
 def local_chunked(stk: ChunkedCoo) -> ChunkedCoo:
     """Inside shard_map: drop the (length-1) leading device dim."""
     return ChunkedCoo(stk.data[0], stk.cols[0], stk.rows[0],
-                      stk.sq_norm[0], stk.shape, stk.chunk_rows)
+                      stk.sq_norm[0], stk.shape, stk.chunk_rows,
+                      stk.true_nnz)
 
 
 def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,

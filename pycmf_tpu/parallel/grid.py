@@ -196,13 +196,15 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     from ..ops.losses import streamed_inner
 
     Xl, Yl = ops.X, ops.Y
+    # one psummed Gram serves both linear terms
+    need_gv = cfg.x_link == LINEAR or (cfg.has_Y and cfg.y_link == LINEAR)
+    gV = jax.lax.psum(gram(V), COL_AXIS) if need_gv else None
     if cfg.x_link == LINEAR:
         # factor-precision inner, block-streamed for bf16 data shards
         # (see _loss_rows); a_sq is the exact fit-time norm
         inner = streamed_inner(Xl, U, V)
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
         gU = jax.lax.psum(gram(U), ROW_AXIS)
-        gV = jax.lax.psum(gram(V), COL_AXIS)
         x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(gU * gV))
     else:
         R = Xl - jax.nn.sigmoid(matmul(U, V.T))
@@ -216,7 +218,6 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     if cfg.has_Y:
         Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
         if cfg.y_link == LINEAR:
-            gV = jax.lax.psum(gram(V), COL_AXIS)
             y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
             y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
             y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))

@@ -776,8 +776,12 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
         elif ops.Xt_tiled is not None:
             Xt_tl = _local_tiled(ops.Xt_tiled)
 
-    chunk_pass = (chunk and cfg.x_link == LINEAR
-                  and cfg.sg_sample_ratio >= 1.0)
+    chunk_ok = (chunk and cfg.x_link == LINEAR
+                and cfg.sg_sample_ratio >= 1.0)
+    # the accumulator-emitting streamed pass only pays off when the V
+    # update consumes XᵀU_new/UᵀU; U-only fold-ins take the generic
+    # Term path (one streamed DB pass, no accumulators)
+    chunk_pass = chunk_ok and cfg.update_V
     fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
     numv_x = gram_u = None
     if cfg.update_U:
@@ -798,7 +802,7 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
                 trials=cfg.line_search_trials,
                 non_negative=cfg.U_non_negative)
-        elif chunk:
+        elif chunk and not chunk_ok:
             raise NotImplementedError(
                 "chunked-streaming sharded X supports full-batch "
                 "linear-link Newton only; use sparse_mode='csr' for "

@@ -367,6 +367,10 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     "chunked-streaming X supports full-batch linear-link "
                     "Newton only; use sparse_mode='csr'/'dense' or "
                     "n_shards for sigmoid/sampled X")
+            # the accumulator-emitting streamed pass only pays off when
+            # the V update consumes XᵀU_new/UᵀU; U-only fold-ins take the
+            # generic Term path below (no accumulator pass)
+            chunked = chunked and cfg.update_V
             if chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
                 k = U.shape[1]
                 l1 = hyper.alpha * hyper.l1_ratio

@@ -109,3 +109,70 @@ class TestSklearnPipelineCompat:
         p.fit(X)
         U = p.transform(X)
         assert U.shape == (40, 3)
+
+
+class TestReviewFixes:
+    """Round-3 self-review findings (code-review pass over the diff)."""
+
+    def test_newton_chunked_sparse_y_works(self, rng):
+        """Y must never resolve to the chunked layout (it has no .T and
+        the Z update reads Y.A.T); forced 'chunked' maps to 'auto' for Y."""
+        X = sp.csr_matrix(np.abs(rng.randn(80, 60))
+                          * (rng.rand(80, 60) > 0.8))
+        Ys = sp.csr_matrix(np.abs(rng.randn(60, 6))
+                           * (rng.rand(60, 6) > 0.5))
+        m = CMF(n_components=4, solver="newton", sparse_mode="chunked",
+                max_iter=3, random_state=0).fit(X, Ys)
+        assert np.isfinite(m.reconstruction_err_)
+        m2 = CMF(n_components=4, solver="mu", sparse_mode="chunked",
+                 max_iter=3, random_state=0).fit(X, Ys)
+        assert np.isfinite(m2.reconstruction_err_)
+
+    def test_chunked_true_nnz(self, rng):
+        from pycmf_tpu.ops.chunked import chunked_from_scipy
+
+        X = sp.csr_matrix(np.abs(rng.randn(64, 32))
+                          * (rng.rand(64, 32) > 0.9))
+        C = chunked_from_scipy(X, dtype=jnp.float64, chunk_rows=16)
+        assert C.nnz == X.nnz
+        assert C.capacity >= C.nnz
+
+    def test_chunked_padding_skew_warns(self):
+        """One heavy chunk padding every other chunk triggers the guard."""
+        from pycmf_tpu.ops.chunked import chunked_from_scipy
+
+        rows = np.concatenate([np.zeros(500, np.int32),
+                               np.arange(1, 64, dtype=np.int32)])
+        cols = np.concatenate([np.arange(500, dtype=np.int32) % 600,
+                               np.zeros(63, np.int32)])
+        vals = np.ones(563)
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(64, 600))
+        with pytest.warns(UserWarning, match="padding"):
+            chunked_from_scipy(A, dtype=jnp.float64, chunk_rows=8)
+
+    def test_stack_chunked_stays_on_host_until_upload(self, rng):
+        from pycmf_tpu.ops.chunked import chunked_from_scipy
+
+        X = sp.csr_matrix(np.abs(rng.randn(40, 30))
+                          * (rng.rand(40, 30) > 0.8))
+        host = chunked_from_scipy(X, dtype=jnp.float32, chunk_rows=16,
+                                  return_numpy=True)
+        assert isinstance(host.data, np.ndarray)
+        assert isinstance(host.cols, np.ndarray)
+        dev = chunked_from_scipy(X, dtype=jnp.float32, chunk_rows=16)
+        np.testing.assert_allclose(host.data, np.asarray(dev.data))
+
+    def test_grid_sampled_newton_sparse_x_accepted(self, rng):
+        """_stays_sparse must not falsely reject grid configs: the grid
+        runner densifies, so sampled Newton on sparse linear X is valid."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        X = sp.csr_matrix(np.abs(rng.randn(40, 30))
+                          * (rng.rand(40, 30) > 0.7))
+        Y = np.abs(rng.randn(30, 5))
+        m = CMF(n_components=3, solver="newton", shard_layout="grid",
+                n_shards=(2, 2), sg_sample_ratio=0.5, max_iter=3,
+                random_state=0).fit(X, Y)
+        assert np.isfinite(m.reconstruction_err_)
