@@ -430,7 +430,8 @@ class CMF(BaseEstimator, TransformerMixin):
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
                 solver=self.solver, rng=rng, loop=self._resolve_loop(),
-                data_dtype=None if gddt == dt else gddt)
+                data_dtype=None if gddt == dt else gddt,
+                sparse_mode=self._matrix_sparse_mode(X, self.x_link))
         elif n_shards is not None and n_shards > 1:
             # Multi-chip: operands are split/padded on the host per layout
             # (SURVEY.md §7 stage 6), so hand over host matrices directly.

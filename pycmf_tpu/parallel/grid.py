@@ -26,8 +26,9 @@ a TPU torus as ring all-reduces over each hardware dimension:
           sigmoid links (σ(0) = 0.5 is not a no-op); linear MU padding
           is exact under zeros and needs none.
 
-Dense X prototype; per-cell CSR/BlockEll blocks are the planned
-extension (STATUS.md).
+Sparse X splits into per-cell CSR blocks (with precomputed local
+transposes) when a cell's dense copy would blow the densify threshold;
+dense cells are the fast path below it (same policy as the 1-D layouts).
 """
 from __future__ import annotations
 
@@ -58,36 +59,139 @@ def factor_grid(n_devices: int) -> tuple[int, int]:
 
 class _GridOps(NamedTuple):
     """Device operands; leading dims sharded per _grid_specs."""
-    X: jnp.ndarray        # (n_pad, m_pad)  P(ROW, COL)
+    X: object             # dense (n_pad, m_pad) P(ROW, COL) | stacked
+                          # per-cell CsrMatrix with (r, c) leading dims
     Y: jnp.ndarray        # (m_pad, r_dim)  P(COL, None); r_dim=0 when no Y
     a_sq: jnp.ndarray     # ()              replicated ‖X‖²
     nmask: jnp.ndarray    # (n_pad,)        P(ROW)  1.0 on real rows
     mmask: jnp.ndarray    # (m_pad,)        P(COL)  1.0 on real shared dims
     rsq_u: jnp.ndarray    # (n_pad, c)      P(ROW, COL) partial ‖xᵢ‖²
     rsq_v: jnp.ndarray    # (m_pad, r)      P(COL, ROW) partial ‖(Xᵀ)ᵢ‖²
+    Xt: object = None     # stacked per-cell CsrMatrix of the LOCAL
+                          # transposes (sparse only; dense uses Xl.T)
 
 
-def _grid_specs() -> _GridOps:
-    return _GridOps(P(ROW_AXIS, COL_AXIS), P(COL_AXIS, None), P(),
+def _grid_specs(ops: _GridOps) -> _GridOps:
+    from ..ops.sparse import is_sparse
+
+    sparse_x = is_sparse(ops.X)
+    x_spec = (P(ROW_AXIS, COL_AXIS) if not sparse_x
+              else P(ROW_AXIS, COL_AXIS))
+    xt_spec = None if ops.Xt is None else P(ROW_AXIS, COL_AXIS)
+    return _GridOps(x_spec, P(COL_AXIS, None), P(),
                     P(ROW_AXIS), P(COL_AXIS),
-                    P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS))
+                    P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS), xt_spec)
+
+
+def _stack_csr_grid(cells, dtype):
+    """Stack an r×c grid of scipy CSR cells into one CsrMatrix whose
+    leaves carry (r, c) leading dims (shard_map spec P(ROW, COL)).
+
+    All cells share the LOCAL shape; nnz arrays pad to the global max
+    with (data=0, col=0, row=last_row) — sorted no-ops for segment ops
+    (same convention as parallel/sharded._stack_csr_blocks)."""
+    import scipy.sparse as sp
+
+    from ..ops.sparse import CsrMatrix
+
+    local_shape = cells[0][0].shape
+    rows = local_shape[0]
+    nnz_max = max(1, max(b.nnz for row in cells for b in row))
+    r, c = len(cells), len(cells[0])
+
+    def one(b):
+        b = sp.csr_matrix(b)
+        b.sum_duplicates()
+        pad = nnz_max - b.nnz
+        data = np.pad(np.asarray(b.data, dtype=np.float64), (0, pad))
+        colsi = np.pad(np.asarray(b.indices, dtype=np.int32), (0, pad))
+        rid = np.repeat(np.arange(rows, dtype=np.int32), np.diff(b.indptr))
+        rid = np.pad(rid, (0, pad), constant_values=rows - 1)
+        sq = np.sum(np.asarray(b.data, dtype=np.float64) ** 2)
+        return data, colsi, np.asarray(b.indptr, np.int32), rid, sq
+
+    parts = [[one(b) for b in row] for row in cells]
+
+    def stk(idx, dt=None):
+        a = np.stack([np.stack([p[idx] for p in row]) for row in parts])
+        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
+
+    sq_dt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
+        else dtype
+    return CsrMatrix(stk(0, dtype), stk(1), stk(2), stk(3),
+                     stk(4, sq_dt), local_shape)
+
+
+def _local_cell(stk):
+    """Inside shard_map: drop the (1, 1) leading device dims."""
+    from ..ops.sparse import CsrMatrix
+
+    return CsrMatrix(stk.data[0, 0], stk.indices[0, 0], stk.indptr[0, 0],
+                     stk.row_ids[0, 0], stk.sq_norm[0, 0], stk.shape)
 
 
 def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
     """data_dtype: storage dtype for the X/Y blocks (None = dtype); bf16
     halves each cell's HBM data-pass traffic while factors, masks, and
-    norms stay at ``dtype``/f32 (same contract as _prepare_rows)."""
+    norms stay at ``dtype``/f32 (same contract as _prepare_rows).
+
+    A scipy.sparse X is split into r×c CSR cells (plus their local
+    transposes); dense X is zero-padded and block-sharded."""
+    import scipy.sparse as sp
+
     ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     n_loc, m_loc = -(-n // r), -(-m // c)
     n_pad, m_pad = r * n_loc, c * m_loc
-    Xh = np.zeros((n_pad, m_pad), dtype=np.float64)
-    Xh[:n, :m] = np.asarray(X)
     k = U0.shape[1]
     U_pad = np.zeros((n_pad, k))
     U_pad[:n] = U0
     V_pad = np.zeros((m_pad, k))
     V_pad[:m] = V0
+    Xtd = None
+    if sp.issparse(X):
+        Xc = sp.csr_matrix(X)
+        cells, tcells = [], []
+        for i in range(r):
+            rowc, rowt = [], []
+            for j in range(c):
+                blk = Xc[i * n_loc: min((i + 1) * n_loc, n),
+                         j * m_loc: min((j + 1) * m_loc, m)]
+                if blk.shape[0] < n_loc:
+                    blk = sp.vstack([blk, sp.csr_matrix(
+                        (n_loc - blk.shape[0], blk.shape[1]))])
+                if blk.shape[1] < m_loc:
+                    blk = sp.hstack([blk, sp.csr_matrix(
+                        (blk.shape[0], m_loc - blk.shape[1]))])
+                blk = sp.csr_matrix(blk)
+                rowc.append(blk)
+                rowt.append(blk.T.tocsr())
+            cells.append(rowc)
+            tcells.append(rowt)
+        Xd = _stack_csr_grid(cells, ddt)
+        Xtd = _stack_csr_grid(tcells, ddt)
+        a_sq64 = np.asarray(Xc.multiply(Xc).sum())
+        rsq_u = np.stack(
+            [np.concatenate([np.asarray(
+                cells[i][j].multiply(cells[i][j]).sum(axis=1)).ravel()
+                for i in range(r)]) for j in range(c)], axis=1)
+        rsq_v = np.stack(
+            [np.concatenate([np.asarray(
+                cells[i][j].multiply(cells[i][j]).sum(axis=0)).ravel()
+                for j in range(c)]) for i in range(r)], axis=1)
+    else:
+        Xh = np.zeros((n_pad, m_pad), dtype=np.float64)
+        Xh[:n, :m] = np.asarray(X)
+        Xd = jnp.asarray(Xh, dtype=ddt)
+        a_sq64 = np.sum(Xh * Xh)
+        # fit-time partial row norms: rsq_u[i, j] = ‖X[i, block j]‖²
+        # (completed by the φ psum over COL); rsq_v mirrors it for Xᵀ.
+        rsq_u = np.stack(
+            [(Xh[:, j * m_loc:(j + 1) * m_loc] ** 2).sum(axis=1)
+             for j in range(c)], axis=1)
+        rsq_v = np.stack(
+            [(Xh[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
+             for i in range(r)], axis=1)
     if Y is None:
         # zero-column placeholder: shard_map specs stay uniform and the
         # cfg.has_Y gate keeps it out of every computation
@@ -100,41 +204,53 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
     nmask[:n] = 1.0
     mmask = np.zeros((m_pad,))
     mmask[:m] = 1.0
-    # fit-time partial row norms: rsq_u[i, j] = ‖X[i, cols of block j]‖²
-    # (completed by the φ psum over COL); rsq_v mirrors it for Xᵀ.
-    rsq_u = np.stack([(Xh[:, j * m_loc:(j + 1) * m_loc] ** 2).sum(axis=1)
-                      for j in range(c)], axis=1)
-    rsq_v = np.stack([(Xh[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
-                      for i in range(r)], axis=1)
     fdt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
         else dtype
     ops = _GridOps(
-        jnp.asarray(Xh, dtype=ddt), Yd,
-        jnp.asarray(np.sum(Xh * Xh), dtype=fdt),
+        Xd, Yd,
+        jnp.asarray(a_sq64, dtype=fdt),
         jnp.asarray(nmask, dtype=dtype), jnp.asarray(mmask, dtype=dtype),
-        jnp.asarray(rsq_u, dtype=fdt), jnp.asarray(rsq_v, dtype=fdt))
+        jnp.asarray(rsq_u, dtype=fdt), jnp.asarray(rsq_v, dtype=fdt),
+        Xtd)
     return (ops, jnp.asarray(U_pad, dtype=dtype),
             jnp.asarray(V_pad, dtype=dtype), n, m)
+
+
+def _grid_local_x(ops: _GridOps):
+    """Local (inside-shard_map) views: (Xl, Xtl). Dense Xtl is Xl.T;
+    sparse cells carry precomputed local transposes."""
+    from ..ops.sparse import is_sparse
+
+    if is_sparse(ops.X):
+        return _local_cell(ops.X), _local_cell(ops.Xt)
+    return ops.X, ops.X.T
 
 
 def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     """One MU iteration on local blocks (inside shard_map). Pinned
     U → Z → V order (solvers/mu.py): V's numerator sees U_new."""
+    from ..ops.sparse import is_sparse, spmm
+
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
-    Xl, Yl = ops.X, ops.Y
+    Yl = ops.Y
+    Xl, Xtl = _grid_local_x(ops)
+    sparse_x = is_sparse(ops.X)
+
+    def xmm(A, B):
+        return spmm(A, B) if sparse_x else matmul(A, B)
 
     VtV = (jax.lax.psum(gram(V), COL_AXIS)
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
     if cfg.update_U:
-        num = jax.lax.psum(matmul(Xl, V), COL_AXIS)
+        num = jax.lax.psum(xmm(Xl, V), COL_AXIS)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps)
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yl.T, V), COL_AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps)
     if cfg.update_V:
-        num = jax.lax.psum(matmul(Xl.T, U), ROW_AXIS)
+        num = jax.lax.psum(xmm(Xtl, U), ROW_AXIS)
         S = jax.lax.psum(gram(U), ROW_AXIS)
         if cfg.has_Y:
             num = num + matmul(Yl, Z)   # Y_j rows are local — no psum
@@ -155,7 +271,8 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
-    Xl, Yl = ops.X, ops.Y
+    Yl = ops.Y
+    Xl, Xtl = _grid_local_x(ops)
     xmask = ops.mmask if cfg.x_link != LINEAR else None
     xtmask = ops.nmask if cfg.x_link != LINEAR else None
     ymask = ops.mmask if cfg.y_link != LINEAR else None
@@ -173,7 +290,7 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             masks=(ymask,), axis_name=COL_AXIS, **common)
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
-        terms = (Term(Xl.T, U, None, ops.rsq_v[:, 0]),)
+        terms = (Term(Xtl, U, None, ops.rsq_v[:, 0]),)
         links = (cfg.x_link,)
         dist = (True,)
         masks = (xtmask,)
@@ -194,19 +311,24 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     double-sharded inner product psummed over BOTH axes; sigmoid terms as
     masked local residuals."""
     from ..ops.losses import streamed_inner
+    from ..ops.sparse import is_sparse, sddmm_dot
 
-    Xl, Yl = ops.X, ops.Y
+    Yl = ops.Y
+    Xl, _ = _grid_local_x(ops)
     # one psummed Gram serves both linear terms
     need_gv = cfg.x_link == LINEAR or (cfg.has_Y and cfg.y_link == LINEAR)
     gV = jax.lax.psum(gram(V), COL_AXIS) if need_gv else None
     if cfg.x_link == LINEAR:
         # factor-precision inner, block-streamed for bf16 data shards
         # (see _loss_rows); a_sq is the exact fit-time norm
-        inner = streamed_inner(Xl, U, V)
+        inner = (sddmm_dot(Xl, U, V) if is_sparse(ops.X)
+                 else streamed_inner(Xl, U, V))
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
         gU = jax.lax.psum(gram(U), ROW_AXIS)
         x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(gU * gV))
     else:
+        # X cells are dense here: the estimator densifies sigmoid-linked
+        # Newton inputs at fit time (see _matrix_sparse_mode)
         R = Xl - jax.nn.sigmoid(matmul(U, V.T))
         w = ops.nmask[:, None] * ops.mmask[None, :]
         x_term = 0.5 * jax.lax.psum(
@@ -229,13 +351,12 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     return loss
 
 
-def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str):
+def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec):
     """Whole tol loop inside shard_map: every device runs the while_loop
     in lockstep, synchronized by the psums — one dispatch per fit (same
     contract as parallel/sharded._make_rows_device_fit)."""
     from ..solvers.common import device_fit_core
 
-    ospec = _grid_specs()
     in_specs = (ospec, P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(),
                 P(), P())
     out_specs = (P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
@@ -267,8 +388,7 @@ def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str):
     return fit
 
 
-def _make_grid_block(cfg: SolverConfig, mesh, solver: str):
-    ospec = _grid_specs()
+def _make_grid_block(cfg: SolverConfig, mesh, solver: str, ospec):
     in_specs = (ospec, P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
     out_specs = ((P(ROW_AXIS, None), P(COL_AXIS, None), P()), P(), P())
 
@@ -309,13 +429,19 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
              grid: tuple[int, int], dtype=jnp.float32, mesh=None,
              max_iter: int = 200, tol: float = 1e-4, eval_every: int = 10,
              verbose: int = 0, solver: str = "mu", rng=None,
-             loop: str = "host", data_dtype=None):
-    """Grid-sharded fit driver (dense X). Returns the run_mu tuple.
+             loop: str = "host", data_dtype=None,
+             sparse_mode: str = "auto"):
+    """Grid-sharded fit driver. Returns the run_mu tuple.
 
     grid=(rows, cols) must multiply to the mesh's device count. MU needs
     linear links (validated by the estimator); Newton supports sigmoid
     links via the padding masks. loop='device' runs the whole tol loop
     inside shard_map (one dispatch per fit).
+
+    Sparse X: 'auto' densifies on the host when each CELL's dense
+    storage fits the threshold (each chip holds only its dense cell),
+    else keeps per-cell CSR (+ local transposes); 'csr' forces cells;
+    'dense' forces densify. 'chunked' is a rows-layout feature.
     """
     import time as _time
 
@@ -326,10 +452,20 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     r, c = grid
     if mesh is None:
         mesh = make_grid_mesh(r, c)
-    if sp.issparse(X):
-        # prototype scope: the host densifies; per-block sparse layouts
-        # (CSR/BlockEll per grid cell) are the planned extension
-        X = np.asarray(X.todense())
+    if sparse_mode == "chunked":
+        raise ValueError(
+            "sparse_mode='chunked' streams in the rows layout; the grid "
+            "layout uses per-cell CSR ('csr') or dense cells")
+    if sp.issparse(X) and sparse_mode != "csr":
+        from ..utils.validation import DENSIFY_THRESHOLD
+
+        item = (jnp.dtype(data_dtype).itemsize if data_dtype is not None
+                else jnp.dtype(dtype).itemsize)
+        cell = (-(-X.shape[0] // r)) * (-(-X.shape[1] // c)) * item
+        if sparse_mode == "dense" or cell <= DENSIFY_THRESHOLD:
+            # each chip's HBM holds only its dense cell; the HOST
+            # materializes the full matrix while splitting
+            X = np.asarray(X.todense())
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
     ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype,
@@ -340,7 +476,8 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     if loop == "device":
-        fitf = _make_grid_device_fit(cfg, mesh, solver)
+        fitf = _make_grid_device_fit(cfg, mesh, solver,
+                                     _grid_specs(ops))
         t0 = _time.perf_counter()
         out = fitf(ops, U_pad, V_pad, Z, hyper, rng,
                    jnp.asarray(tol, dtype), max_iter, eval_every)
@@ -348,7 +485,7 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
             out, eval_every, max_iter)
         return (U[:n], V[:m], Z, n_iter, losses, iters,
                 [_time.perf_counter() - t0])
-    block, loss_fn = _make_grid_block(cfg, mesh, solver)
+    block, loss_fn = _make_grid_block(cfg, mesh, solver, _grid_specs(ops))
     state = (ops, U_pad, V_pad, Z)
     state, n_iter, losses, iters, times = run_solver_loop(
         block, state, hyper, (rng, jnp.zeros((), jnp.int32)),

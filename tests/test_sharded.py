@@ -711,3 +711,56 @@ class TestGridLayout:
         assert np.allclose(m1.U_, mg.U_, rtol=5e-3, atol=1e-5)
         assert np.isclose(m1.reconstruction_err_, mg.reconstruction_err_,
                           rtol=1e-3)
+
+    def test_sparse_csr_cells_match_single_device(self, rng):
+        """Per-cell CSR grid blocks (+ local transposes) vs single-device
+        and vs the dense-cell grid — exact to fp order."""
+        import scipy.sparse as sp
+
+        X = np.abs(rng.randn(67, 53))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        kw = dict(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid", sparse_mode="csr",
+                **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(**kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(g.V_, s.V_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(g.loss_history_, s.loss_history_, rtol=1e-10)
+
+    def test_sparse_newton_csr_cells_match(self, rng):
+        import scipy.sparse as sp
+
+        X = np.abs(rng.randn(67, 53))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid", sparse_mode="csr",
+                **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(**kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.V_, s.V_, rtol=1e-9, atol=1e-11)
+
+    def test_sparse_csr_cells_device_loop(self, rng):
+        import scipy.sparse as sp
+
+        X = np.abs(rng.randn(67, 53))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid", sparse_mode="csr")
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(mh.U_, md.U_, rtol=1e-12)
