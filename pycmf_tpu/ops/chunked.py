@@ -358,15 +358,21 @@ def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
 
     def body(carry, inp):
         numV, gramU = carry
-        dv, cv, rv, uc = inp
+        ci, dv, cv, rv, uc = inp
         Xc = _densify_chunk(X, dv, cv, rv)
         num = matmul(Xc, V)
         u_new = uc * num / (matmul(uc, VtV) + l1 + l2 * uc + eps)
+        # padding rows (beyond n) are 0/0 = NaN when l1 = eps = 0 —
+        # mask them explicitly instead of relying on the ε guard
+        valid = (ci * X.chunk_rows
+                 + jnp.arange(X.chunk_rows))[:, None] < n
+        u_new = jnp.where(valid, u_new, 0.0)
         numV = numV + matmul(Xc.T, u_new)
         gramU = gramU + matmul(u_new.T, u_new)
         return (numV, gramU), u_new
 
     acc0 = (jnp.zeros((m, k), U.dtype), jnp.zeros((k, k), U.dtype))
     (numV, gramU), ys = jax.lax.scan(
-        body, acc0, (X.data, X.cols, X.rows, Up))
+        body, acc0,
+        (jnp.arange(X.n_chunks), X.data, X.cols, X.rows, Up))
     return ys.reshape(X.n_pad, k)[:n], numV, gramU
