@@ -6,7 +6,12 @@ NumPy implementation of the reference's update rules. The jitted solvers
 must reproduce them to float64 tolerance — this pins solver behavior
 against refactors of BOTH implementations (regenerate only with
 justification; see the generation script in the git history of this file's
-commit)."""
+commit).
+
+These goldens share the repo's pinned conventions (PINNED_ASSUMPTIONS.md);
+the EXTERNAL cross-check is tests/test_mu.py::TestSklearnTrajectoryParity,
+which matches sklearn's independent MU implementation to 1e-15 in the
+degenerate no-Y case."""
 from pathlib import Path
 
 import numpy as np
