@@ -20,7 +20,12 @@ import scipy.sparse as sp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from pycmf_tpu import CMF  # noqa: E402
+from pycmf_tpu import CMF
+from pycmf_tpu.utils.cache import enable_persistent_cache
+
+# first compiles go through a slow remote queue on this dev
+# link; the persistent cache turns re-runs into disk hits
+enable_persistent_cache()  # noqa: E402
 
 
 def block_sparse_matrix(p, q, block_frac, rng):

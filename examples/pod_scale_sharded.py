@@ -25,6 +25,11 @@ def main():
     import jax
 
     from pycmf_tpu import CMF
+    from pycmf_tpu.utils.cache import enable_persistent_cache
+
+    # first compiles go through a slow remote queue on this dev
+    # link; the persistent cache turns re-runs into disk hits
+    enable_persistent_cache()
 
     d = len(jax.devices())
     print(f"devices: {d} × {jax.devices()[0].platform}")

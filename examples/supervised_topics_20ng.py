@@ -18,6 +18,11 @@ import time
 import numpy as np
 
 from pycmf_tpu import CMF
+from pycmf_tpu.utils.cache import enable_persistent_cache
+
+# first compiles go through a slow remote queue on this dev
+# link; the persistent cache turns re-runs into disk hits
+enable_persistent_cache()
 from pycmf_tpu.utils.datasets import load_20ng
 
 
