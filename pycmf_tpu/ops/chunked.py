@@ -349,8 +349,9 @@ def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
         numV  = Σ_c X_cᵀ U_c_new          (XᵀU_new, already global)
         gramU = Σ_c U_c_newᵀ U_c_new      (U_newᵀU_new)
 
-    Returns (U_new[:n], numV, gramU). Padding rows of U enter as zeros and
-    stay exactly zero under the MU ratio (0 · num / (… + ε) = 0).
+    Returns (U_new[:n], numV, gramU). Padding rows of U (beyond n) are
+    masked to exact zeros in-pass — the ratio alone would give 0/0 = NaN
+    when l1 = ε = 0.
     """
     n, m = X.shape
     k = U.shape[1]
