@@ -94,16 +94,19 @@ class CMF(BaseEstimator, TransformerMixin):
     use_pallas : None (auto: on for TPU) | bool — route hot ops through the
         Pallas kernels where reliable (see docs/PERFORMANCE.md).
     sparse_mode : 'auto' (densify sparse input when the dense copy AT THE
-        STORAGE DTYPE fits ~2 GB — the fast TPU path; above that, MU
-        streams row chunks through a reused dense buffer, ops/chunked.py)
-        | 'csr' | 'dense' | 'chunked' (force the streaming layout; MU
-        single-chip only).
+        STORAGE DTYPE fits ~2 GB — the fast TPU path; above that, stream
+        row chunks through a reused dense buffer, ops/chunked.py, when the
+        solver/links allow) | 'csr' | 'dense' | 'chunked' (force the
+        streaming layout; MU and full-batch linear Newton, single-chip or
+        rows/grid shards).
     hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
     line_search_trials : backtracking halvings (0 = full Newton step).
-    n_shards : row-shard data over this many devices (None = single-chip;
-        -1 or 'all' = every visible device).
-    shard_layout : 'rows' (shard n; default) | 'cols' (shard m) — SURVEY.md §7
-        layouts A and B.
+    n_shards : shard data over this many devices (None = single-chip;
+        -1 or 'all' = every visible device; a (rows, cols) tuple with
+        shard_layout='grid' picks the 2-D mesh shape).
+    shard_layout : 'rows' (shard n; default) | 'cols' (shard m) —
+        SURVEY.md §7 layouts A and B — | 'grid' (shard BOTH axes over a
+        2-D mesh for jointly huge n and m, parallel/grid.py).
 
     Attributes
     ----------
@@ -295,10 +298,9 @@ class CMF(BaseEstimator, TransformerMixin):
         if not sp.issparse(A):
             return False
         ns = self._resolve_n_shards()
-        if ns is not None and ns > 1:
-            # grid always densifies (host-side, per-cell); the 1-D
-            # layouts keep sparse inputs CSR/chunked per shard
-            return self.shard_layout != "grid"
+        if ns is not None and ns > 1 and self.shard_layout != "grid":
+            # the 1-D layouts keep sparse inputs CSR/chunked per shard
+            return True
         if self.sparse_mode == "dense":
             return False
         if self.sparse_mode in ("csr", "chunked"):
@@ -307,7 +309,13 @@ class CMF(BaseEstimator, TransformerMixin):
 
         ddt = self._resolve_data_dtype()
         item = 4 if ddt in _FP8 else jnp.dtype(ddt).itemsize
-        return A.shape[0] * A.shape[1] * item > DENSIFY_THRESHOLD
+        n, m = A.shape
+        if ns is not None and ns > 1:
+            # grid 'auto': each CELL densifies independently against the
+            # threshold (run_grid); over-threshold cells stay sparse
+            r, c = self._resolve_grid()
+            n, m = -(-n // r), -(-m // c)
+        return n * m * item > DENSIFY_THRESHOLD
 
     def _validate(self, X, Y):
         validate_cmf_params(
@@ -330,11 +338,12 @@ class CMF(BaseEstimator, TransformerMixin):
                     "streamed U pass); use sparse_mode='csr'/'dense' or "
                     "n_shards to row-shard")
             ns = self._resolve_n_shards()
-            if ns is not None and ns > 1 and self.shard_layout != "rows":
+            if ns is not None and ns > 1 \
+                    and self.shard_layout not in ("rows", "grid"):
                 raise ValueError(
-                    "sparse_mode='chunked' shards only in the rows "
-                    "layout (per-shard streaming); use "
-                    "shard_layout='rows' or sparse_mode='auto'")
+                    "sparse_mode='chunked' shards in the rows and grid "
+                    "layouts (per-shard/per-cell streaming); use "
+                    "shard_layout='rows'/'grid' or sparse_mode='auto'")
         if self._resolve_data_dtype() in _FP8:
             # fp8 is the dense fused-kernel fast path only: CSR segment ops
             # and the sharded runner's per-shard layouts stay bf16/f32.

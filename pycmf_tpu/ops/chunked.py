@@ -277,6 +277,41 @@ def local_chunked(stk: ChunkedCoo) -> ChunkedCoo:
                       stk.true_nnz)
 
 
+def stack_chunked_grid(cells, dtype, *,
+                       buffer_bytes: int = DEFAULT_BUFFER_BYTES
+                       ) -> ChunkedCoo:
+    """r×c grid of scipy cells → one ChunkedCoo with (r, c) leading dims
+    (shard_map operand under P(ROW, COL); parallel/grid._local_chunked_cell
+    drops them).
+
+    All cells share the LOCAL shape, so every cell gets the SAME static
+    chunk geometry (R, C); the per-chunk capacity L pads to the global max
+    — chunk geometry is part of the traced program, which must be
+    identical across mesh positions.
+    """
+    local_shape = cells[0][0].shape
+    R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes)
+    cks = [[chunked_from_scipy(b, dtype=dtype, chunk_rows=R,
+                               return_numpy=True)
+            for b in row] for row in cells]
+    C = max(x.n_chunks for row in cks for x in row)
+    L = max(x.data.shape[1] for row in cks for x in row)
+
+    def pad(a):
+        return np.pad(a, ((0, C - a.shape[0]), (0, L - a.shape[1])))
+
+    def stk(get, dt=None):
+        a = np.stack([np.stack([get(x) for x in row]) for row in cks])
+        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
+
+    return ChunkedCoo(
+        stk(lambda x: pad(x.data), dtype),
+        stk(lambda x: pad(x.cols)),
+        stk(lambda x: pad(x.rows)),
+        stk(lambda x: x.sq_norm),
+        local_shape, R, sum(x.true_nnz for row in cks for x in row))
+
+
 def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
                                  l1, l2, *, trials: int,
                                  non_negative: bool):

@@ -26,9 +26,13 @@ a TPU torus as ring all-reduces over each hardware dimension:
           sigmoid links (σ(0) = 0.5 is not a no-op); linear MU padding
           is exact under zeros and needs none.
 
-Sparse X splits into per-cell CSR blocks (with precomputed local
-transposes) when a cell's dense copy would blow the densify threshold;
-dense cells are the fast path below it (same policy as the 1-D layouts).
+Sparse X splits per-cell when a cell's dense copy would blow the densify
+threshold; dense cells are the fast path below it (same policy as the 1-D
+layouts). Above it each cell stores either CSR (+ a precomputed local
+transpose; segment-sum SpMM) or — the fast path for scattered sparsity,
+auto-picked when the links allow it — a streamed chunked-COO layout
+(ops/chunked.py: scatter row chunks into a reused dense buffer, MXU math
+per chunk; measured 2.4× the segment-sum path at 7 GB-dense-equivalent).
 """
 from __future__ import annotations
 
@@ -130,13 +134,26 @@ def _local_cell(stk):
                      stk.row_ids[0, 0], stk.sq_norm[0, 0], stk.shape)
 
 
-def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
+def _local_chunked_cell(stk):
+    """Inside shard_map: drop a stacked ChunkedCoo's (1, 1) leading dims."""
+    from ..ops.chunked import ChunkedCoo
+
+    return ChunkedCoo(stk.data[0, 0], stk.cols[0, 0], stk.rows[0, 0],
+                      stk.sq_norm[0, 0], stk.shape, stk.chunk_rows,
+                      stk.true_nnz)
+
+
+def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
+                  sparse_cells: str = "csr"):
     """data_dtype: storage dtype for the X/Y blocks (None = dtype); bf16
     halves each cell's HBM data-pass traffic while factors, masks, and
     norms stay at ``dtype``/f32 (same contract as _prepare_rows).
 
-    A scipy.sparse X is split into r×c CSR cells (plus their local
-    transposes); dense X is zero-padded and block-sharded."""
+    A scipy.sparse X is split into r×c cells (plus their local
+    transposes) stored per ``sparse_cells``: 'csr' (segment-sum SpMM) or
+    'chunked' (streamed chunked-COO, ops/chunked.py — both directions get
+    their own row-chunked layout since the stream is row-major); dense X
+    is zero-padded and block-sharded."""
     import scipy.sparse as sp
 
     ddt = dtype if data_dtype is None else data_dtype
@@ -168,8 +185,14 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
                 rowt.append(blk.T.tocsr())
             cells.append(rowc)
             tcells.append(rowt)
-        Xd = _stack_csr_grid(cells, ddt)
-        Xtd = _stack_csr_grid(tcells, ddt)
+        if sparse_cells == "chunked":
+            from ..ops.chunked import stack_chunked_grid
+
+            Xd = stack_chunked_grid(cells, ddt)
+            Xtd = stack_chunked_grid(tcells, ddt)
+        else:
+            Xd = _stack_csr_grid(cells, ddt)
+            Xtd = _stack_csr_grid(tcells, ddt)
         a_sq64 = np.asarray(Xc.multiply(Xc).sum())
         rsq_u = np.stack(
             [np.concatenate([np.asarray(
@@ -218,9 +241,12 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None):
 
 def _grid_local_x(ops: _GridOps):
     """Local (inside-shard_map) views: (Xl, Xtl). Dense Xtl is Xl.T;
-    sparse cells carry precomputed local transposes."""
+    sparse/chunked cells carry precomputed local transposes."""
+    from ..ops.chunked import is_chunked
     from ..ops.sparse import is_sparse
 
+    if is_chunked(ops.X):
+        return _local_chunked_cell(ops.X), _local_chunked_cell(ops.Xt)
     if is_sparse(ops.X):
         return _local_cell(ops.X), _local_cell(ops.Xt)
     return ops.X, ops.X.T
@@ -229,6 +255,7 @@ def _grid_local_x(ops: _GridOps):
 def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     """One MU iteration on local blocks (inside shard_map). Pinned
     U → Z → V order (solvers/mu.py): V's numerator sees U_new."""
+    from ..ops.chunked import chunked_spmm, is_chunked
     from ..ops.sparse import is_sparse, spmm
 
     l1 = hyper.alpha * hyper.l1_ratio
@@ -236,10 +263,13 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     eps = hyper.eps
     Yl = ops.Y
     Xl, Xtl = _grid_local_x(ops)
-    sparse_x = is_sparse(ops.X)
 
     def xmm(A, B):
-        return spmm(A, B) if sparse_x else matmul(A, B)
+        # Xl AND Xtl are row-chunked layouts in chunked mode — both
+        # stream forward (no transposed pass needed).
+        if is_chunked(A):
+            return chunked_spmm(A, B)
+        return spmm(A, B) if is_sparse(A) else matmul(A, B)
 
     VtV = (jax.lax.psum(gram(V), COL_AXIS)
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
@@ -310,6 +340,7 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     """L(U,V,Z): linear terms via the factored identity with the
     double-sharded inner product psummed over BOTH axes; sigmoid terms as
     masked local residuals."""
+    from ..ops.chunked import chunked_inner, is_chunked
     from ..ops.losses import streamed_inner
     from ..ops.sparse import is_sparse, sddmm_dot
 
@@ -321,8 +352,12 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     if cfg.x_link == LINEAR:
         # factor-precision inner, block-streamed for bf16 data shards
         # (see _loss_rows); a_sq is the exact fit-time norm
-        inner = (sddmm_dot(Xl, U, V) if is_sparse(ops.X)
-                 else streamed_inner(Xl, U, V))
+        if is_chunked(ops.X):
+            inner = chunked_inner(Xl, U, V)
+        elif is_sparse(ops.X):
+            inner = sddmm_dot(Xl, U, V)
+        else:
+            inner = streamed_inner(Xl, U, V)
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
         gU = jax.lax.psum(gram(U), ROW_AXIS)
         x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(gU * gV))
@@ -439,9 +474,11 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     inside shard_map (one dispatch per fit).
 
     Sparse X: 'auto' densifies on the host when each CELL's dense
-    storage fits the threshold (each chip holds only its dense cell),
-    else keeps per-cell CSR (+ local transposes); 'csr' forces cells;
-    'dense' forces densify. 'chunked' is a rows-layout feature.
+    storage fits the threshold (each chip holds only its dense cell);
+    above it cells stream as chunked-COO when the solver allows it
+    (MU, or full-batch linear-link Newton — the fast scattered-sparse
+    path), else per-cell CSR (+ local transposes). 'csr' / 'chunked' /
+    'dense' force the respective layout.
     """
     import time as _time
 
@@ -452,24 +489,38 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     r, c = grid
     if mesh is None:
         mesh = make_grid_mesh(r, c)
-    if sparse_mode == "chunked":
-        raise ValueError(
-            "sparse_mode='chunked' streams in the rows layout; the grid "
-            "layout uses per-cell CSR ('csr') or dense cells")
-    if sp.issparse(X) and sparse_mode != "csr":
-        from ..utils.validation import DENSIFY_THRESHOLD
+    sparse_cells = "csr"
+    if sp.issparse(X):
+        chunk_ok = (solver == "mu"
+                    or (cfg.x_link == LINEAR
+                        and cfg.sg_sample_ratio >= 1.0))
+        if sparse_mode == "chunked":
+            if not chunk_ok:
+                raise ValueError(
+                    "sparse_mode='chunked' grid cells support MU and "
+                    "full-batch linear-link Newton only; use "
+                    "sparse_mode='csr'/'dense' for sigmoid or sampled X")
+            sparse_cells = "chunked"
+        elif sparse_mode != "csr":
+            from ..utils.validation import DENSIFY_THRESHOLD
 
-        item = (jnp.dtype(data_dtype).itemsize if data_dtype is not None
-                else jnp.dtype(dtype).itemsize)
-        cell = (-(-X.shape[0] // r)) * (-(-X.shape[1] // c)) * item
-        if sparse_mode == "dense" or cell <= DENSIFY_THRESHOLD:
-            # each chip's HBM holds only its dense cell; the HOST
-            # materializes the full matrix while splitting
-            X = np.asarray(X.todense())
+            item = (jnp.dtype(data_dtype).itemsize
+                    if data_dtype is not None
+                    else jnp.dtype(dtype).itemsize)
+            cell = (-(-X.shape[0] // r)) * (-(-X.shape[1] // c)) * item
+            if sparse_mode == "dense" or cell <= DENSIFY_THRESHOLD:
+                # each chip's HBM holds only its dense cell; the HOST
+                # materializes the full matrix while splitting
+                X = np.asarray(X.todense())
+            elif chunk_ok:
+                # over-threshold scattered cells: the streamed layout is
+                # the measured fast path (2.4× segment-sum CSR)
+                sparse_cells = "chunked"
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
     ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype,
-                                            data_dtype=data_dtype)
+                                            data_dtype=data_dtype,
+                                            sparse_cells=sparse_cells)
     k = U_pad.shape[1]
     Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
          else jnp.zeros((0, k), dtype=dtype))

@@ -239,13 +239,15 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
         term = term if isinstance(term, Term) else Term(*term)
         D, B, tiled, row_sq, db, btb = term
         if sample_ratio < 1.0:
-            if is_sparse(D):
+            from ..ops.chunked import is_chunked as _is_ck
+
+            if is_sparse(D) or _is_ck(D):
                 # No silent full-batch fallback: the estimator densifies
                 # sigmoid terms and rejects sampled sparse linear terms at
                 # validation; direct solver callers get the same contract.
                 raise NotImplementedError(
                     "sg_sample_ratio < 1 requires dense term data; densify "
-                    "the CSR matrix (sparse_mode='dense') or use "
+                    "the CSR/chunked matrix (sparse_mode='dense') or use "
                     "sg_sample_ratio=1.0")
             key = jax.random.fold_in(rng, t)
             if dist and axis_name is not None:

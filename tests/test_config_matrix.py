@@ -114,3 +114,17 @@ class TestGridConfigMatrix:
         assert np.isfinite(m.reconstruction_err_)
         assert np.all(np.isfinite(m.U_))
         assert np.all(np.isfinite(m.V_))
+
+    @pytest.mark.parametrize(
+        "solver,sparse_mode",
+        list(itertools.product(SOLVERS, ["csr", "chunked"])))
+    def test_grid_sparse_combos(self, rng, solver, sparse_mode):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        X, Y = _data(rng, sparse=True, binary=False, negatives=False)
+        m = CMF(n_components=3, solver=solver, n_shards=(2, 2),
+                shard_layout="grid", sparse_mode=sparse_mode, max_iter=3,
+                tol=0.0, random_state=0)
+        m.fit(X, Y)
+        assert np.isfinite(m.reconstruction_err_)
+        assert np.all(np.isfinite(m.U_))

@@ -764,3 +764,90 @@ class TestGridLayout:
         mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
         md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
         assert np.allclose(mh.U_, md.U_, rtol=1e-12)
+
+    def _sparse_problem(self, rng):
+        import scipy.sparse as sp
+
+        X = np.abs(rng.randn(67, 53))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        return Xs, Y, U0, V0, Z0
+
+    def test_sparse_chunked_cells_match_single_device(self, rng):
+        """Streamed chunked-COO grid cells (both directions row-chunked)
+        vs the single-device fit — the scattered-sparse fast path at
+        2-D-mesh scale."""
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid",
+                sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(**kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.V_, s.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.loss_history_, s.loss_history_, rtol=1e-9)
+
+    def test_sparse_chunked_newton_cells_match(self, rng):
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid",
+                sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.V_, s.V_, rtol=1e-9, atol=1e-11)
+
+    def test_sparse_chunked_cells_device_loop(self, rng):
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid", sparse_mode="chunked")
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(mh.U_, md.U_, rtol=1e-12)
+        assert np.allclose(mh.loss_history_, md.loss_history_, rtol=1e-12)
+
+    def test_grid_auto_streams_over_threshold(self, rng, monkeypatch):
+        """'auto' with over-threshold cells and chunked-eligible links
+        resolves to the streamed layout (not segment-sum CSR)."""
+        import pycmf_tpu.ops.chunked as ck
+        import pycmf_tpu.utils.validation as val
+
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        calls = []
+        real = ck.stack_chunked_grid
+        monkeypatch.setattr(
+            ck, "stack_chunked_grid",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+        monkeypatch.setattr(val, "DENSIFY_THRESHOLD", 64)
+        kw = dict(n_components=4, solver="mu", max_iter=5, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid", **kw).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        assert calls, "auto did not pick the chunked grid layout"
+        s = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+
+    def test_grid_chunked_sampled_newton_raises(self, rng):
+        Xs, Y, _, _, _ = self._sparse_problem(rng)
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                sparse_mode="chunked", n_shards=(2, 4),
+                shard_layout="grid", dtype="float64").fit(Xs, Y)
+
+    def test_grid_sampled_newton_csr_cells_raise_cleanly(self, rng,
+                                                         monkeypatch):
+        """Over-threshold CSR cells + sg_sample_ratio < 1: the estimator
+        raises the friendly ValueError instead of the solver's
+        NotImplementedError at trace time."""
+        import pycmf_tpu.utils.validation as val
+
+        monkeypatch.setattr(val, "DENSIFY_THRESHOLD", 64)
+        Xs, Y, _, _, _ = self._sparse_problem(rng)
+        with pytest.raises(ValueError, match="sg_sample_ratio"):
+            CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                n_shards=(2, 4), shard_layout="grid",
+                dtype="float64").fit(Xs, Y)
