@@ -33,6 +33,10 @@ transpose; segment-sum SpMM) or — the fast path for scattered sparsity,
 auto-picked when the links allow it — a streamed chunked-COO layout
 (ops/chunked.py: scatter row chunks into a reused dense buffer, MXU math
 per chunk; measured 2.4× the segment-sum path at 7 GB-dense-equivalent).
+CSR cells with BLOCK-structured sparsity additionally build per-cell
+BlockEll MXU layouts (ops/pallas/bell.py, 79× segment-sum when it
+applies) exactly like the 1-D layouts — tried first, falling back to
+segment-sum when any cell's pattern is too scattered.
 """
 from __future__ import annotations
 
@@ -73,18 +77,19 @@ class _GridOps(NamedTuple):
     rsq_v: jnp.ndarray    # (m_pad, r)      P(COL, ROW) partial ‖(Xᵀ)ᵢ‖²
     Xt: object = None     # stacked per-cell CsrMatrix of the LOCAL
                           # transposes (sparse only; dense uses Xl.T)
+    X_bell: object = None    # stacked per-cell BlockEll of X (MXU SpMM)
+    Xt_bell: object = None   # stacked per-cell BlockEll of local Xᵀ
 
 
 def _grid_specs(ops: _GridOps) -> _GridOps:
-    from ..ops.sparse import is_sparse
+    def cell_spec(x):
+        return None if x is None else P(ROW_AXIS, COL_AXIS)
 
-    sparse_x = is_sparse(ops.X)
-    x_spec = (P(ROW_AXIS, COL_AXIS) if not sparse_x
-              else P(ROW_AXIS, COL_AXIS))
-    xt_spec = None if ops.Xt is None else P(ROW_AXIS, COL_AXIS)
-    return _GridOps(x_spec, P(COL_AXIS, None), P(),
+    return _GridOps(P(ROW_AXIS, COL_AXIS), P(COL_AXIS, None), P(),
                     P(ROW_AXIS), P(COL_AXIS),
-                    P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS), xt_spec)
+                    P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS),
+                    cell_spec(ops.Xt), cell_spec(ops.X_bell),
+                    cell_spec(ops.Xt_bell))
 
 
 def _stack_csr_grid(cells, dtype):
@@ -143,17 +148,78 @@ def _local_chunked_cell(stk):
                       stk.true_nnz)
 
 
+def _stack_bell_grid(cells, dtype, max_bytes):
+    """r×c grid of scipy cells → one BlockEll with (r, c) leading dims.
+
+    Mirrors parallel/sharded._stack_bell_blocks for the 2-D mesh: every
+    cell converts on the host (one upload), pads to the global block
+    count NB with zero blocks at (row-block nrb−1, col-block 0) — brows
+    stay sorted, zero blocks are exact no-ops. Returns None when ANY
+    cell's sparsity is too scattered for the block layout to pay off
+    (bell_from_scipy refuses) — the caller falls back to segment-sum CSR.
+    """
+    from ..ops.pallas.bell import BlockEll, bell_from_scipy
+
+    bells = []
+    for row in cells:
+        br = []
+        for b in row:
+            bl = bell_from_scipy(b, dtype=dtype, max_bytes=max_bytes,
+                                 return_numpy=True)
+            if bl is None:
+                return None
+            br.append(bl)
+        bells.append(br)
+    nb = max(b.blocks.shape[0] for row in bells for b in row)
+    R = bells[0][0].blocks.shape[1]
+    nrb = -(-bells[0][0].shape[0] // R)
+
+    def pad(b):
+        p = nb - b.blocks.shape[0]
+        return (np.pad(b.blocks, ((0, p), (0, 0), (0, 0))),
+                np.pad(b.brows, (0, p), constant_values=nrb - 1),
+                np.pad(b.bcols, (0, p)))
+
+    parts = [[pad(b) for b in row] for row in bells]
+
+    def stk(idx, dt=None):
+        a = np.stack([np.stack([p[idx] for p in row]) for row in parts])
+        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
+
+    fill = float(np.mean([b.fill for row in bells for b in row]))
+    return BlockEll(stk(0, dtype), stk(1), stk(2),
+                    bells[0][0].shape, fill)
+
+
+def _local_bell_cell(stk):
+    """Inside shard_map: drop a stacked BlockEll's (1, 1) leading dims."""
+    from ..ops.pallas.bell import BlockEll
+
+    return BlockEll(stk.blocks[0, 0], stk.brows[0, 0], stk.bcols[0, 0],
+                    stk.shape, stk.fill)
+
+
+def _grid_local_bells(ops: _GridOps):
+    """Local BlockEll views (X_bl, Xt_bl), or (None, None)."""
+    if ops.X_bell is None:
+        return None, None
+    return _local_bell_cell(ops.X_bell), _local_bell_cell(ops.Xt_bell)
+
+
 def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
-                  sparse_cells: str = "csr"):
+                  sparse_cells: str = "csr", use_pallas: bool = False,
+                  chunk_ok: bool = False):
     """data_dtype: storage dtype for the X/Y blocks (None = dtype); bf16
     halves each cell's HBM data-pass traffic while factors, masks, and
     norms stay at ``dtype``/f32 (same contract as _prepare_rows).
 
     A scipy.sparse X is split into r×c cells (plus their local
-    transposes) stored per ``sparse_cells``: 'csr' (segment-sum SpMM) or
-    'chunked' (streamed chunked-COO, ops/chunked.py — both directions get
-    their own row-chunked layout since the stream is row-major); dense X
-    is zero-padded and block-sharded."""
+    transposes) stored per ``sparse_cells``: 'csr' (segment-sum SpMM;
+    with use_pallas, per-cell BlockEll MXU layouts are tried first and
+    used when every cell's pattern is block-structured) or 'chunked'
+    (streamed chunked-COO, ops/chunked.py — both directions get their
+    own row-chunked layout since the stream is row-major); dense X is
+    zero-padded and block-sharded."""
     import scipy.sparse as sp
 
     ddt = dtype if data_dtype is None else data_dtype
@@ -165,7 +231,7 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
     U_pad[:n] = U0
     V_pad = np.zeros((m_pad, k))
     V_pad[:m] = V0
-    Xtd = None
+    Xtd = X_bell = Xt_bell = None
     if sp.issparse(X):
         Xc = sp.csr_matrix(X)
         cells, tcells = [], []
@@ -185,6 +251,24 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
                 rowt.append(blk.T.tocsr())
             cells.append(rowc)
             tcells.append(rowt)
+        if sparse_cells != "chunked" and use_pallas:
+            from ..ops.pallas.policy import kernel_enabled
+
+            if kernel_enabled("bell_spmm"):
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                X_bell = _stack_bell_grid(cells, ddt, DENSIFY_THRESHOLD)
+                Xt_bell = (None if X_bell is None else
+                           _stack_bell_grid(tcells, ddt,
+                                            DENSIFY_THRESHOLD))
+                if Xt_bell is None:
+                    X_bell = Xt_bell = None
+        if sparse_cells == "auto":
+            # block-structured cells ride the MXU BlockEll (kept on the
+            # CSR carrier); scattered cells stream chunked-COO when the
+            # solver allows it (chunk_ok), else segment-sum CSR
+            sparse_cells = ("csr" if X_bell is not None or not chunk_ok
+                            else "chunked")
         if sparse_cells == "chunked":
             from ..ops.chunked import stack_chunked_grid
 
@@ -234,7 +318,7 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
         jnp.asarray(a_sq64, dtype=fdt),
         jnp.asarray(nmask, dtype=dtype), jnp.asarray(mmask, dtype=dtype),
         jnp.asarray(rsq_u, dtype=fdt), jnp.asarray(rsq_v, dtype=fdt),
-        Xtd)
+        Xtd, X_bell, Xt_bell)
     return (ops, jnp.asarray(U_pad, dtype=dtype),
             jnp.asarray(V_pad, dtype=dtype), n, m)
 
@@ -263,10 +347,16 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     eps = hyper.eps
     Yl = ops.Y
     Xl, Xtl = _grid_local_x(ops)
+    X_bl, Xt_bl = _grid_local_bells(ops)
 
-    def xmm(A, B):
+    def xmm(A, B, bell=None):
         # Xl AND Xtl are row-chunked layouts in chunked mode — both
-        # stream forward (no transposed pass needed).
+        # stream forward (no transposed pass needed). A per-cell
+        # BlockEll (block-structured sparsity) takes the MXU SpMM.
+        if bell is not None:
+            from ..ops.pallas.bell import bell_spmm
+
+            return bell_spmm(bell, B)
         if is_chunked(A):
             return chunked_spmm(A, B)
         return spmm(A, B) if is_sparse(A) else matmul(A, B)
@@ -274,13 +364,13 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     VtV = (jax.lax.psum(gram(V), COL_AXIS)
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
     if cfg.update_U:
-        num = jax.lax.psum(xmm(Xl, V), COL_AXIS)
+        num = jax.lax.psum(xmm(Xl, V, X_bl), COL_AXIS)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps)
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yl.T, V), COL_AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps)
     if cfg.update_V:
-        num = jax.lax.psum(xmm(Xtl, U), ROW_AXIS)
+        num = jax.lax.psum(xmm(Xtl, U, Xt_bl), ROW_AXIS)
         S = jax.lax.psum(gram(U), ROW_AXIS)
         if cfg.has_Y:
             num = num + matmul(Yl, Z)   # Y_j rows are local — no psum
@@ -303,13 +393,14 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                   use_pallas=cfg.use_pallas)
     Yl = ops.Y
     Xl, Xtl = _grid_local_x(ops)
+    X_bl, Xt_bl = _grid_local_bells(ops)
     xmask = ops.mmask if cfg.x_link != LINEAR else None
     xtmask = ops.nmask if cfg.x_link != LINEAR else None
     ymask = ops.mmask if cfg.y_link != LINEAR else None
 
     if cfg.update_U:
         U = newton_update_factor(
-            kU, U, (Term(Xl, V, None, ops.rsq_u[:, 0]),), (cfg.x_link,),
+            kU, U, (Term(Xl, V, X_bl, ops.rsq_u[:, 0]),), (cfg.x_link,),
             hyper, non_negative=cfg.U_non_negative, distributed=(True,),
             masks=(xmask,), axis_name=COL_AXIS, **common)
         U = U * ops.nmask[:, None]     # keep padding rows exactly zero
@@ -320,7 +411,7 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             masks=(ymask,), axis_name=COL_AXIS, **common)
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
-        terms = (Term(Xtl, U, None, ops.rsq_v[:, 0]),)
+        terms = (Term(Xtl, U, Xt_bl, ops.rsq_v[:, 0]),)
         links = (cfg.x_link,)
         dist = (True,)
         masks = (xtmask,)
@@ -355,7 +446,12 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
         if is_chunked(ops.X):
             inner = chunked_inner(Xl, U, V)
         elif is_sparse(ops.X):
-            inner = sddmm_dot(Xl, U, V)
+            if ops.Xt_bell is not None:
+                from ..ops.pallas.bell import bell_inner
+
+                inner = bell_inner(_local_bell_cell(ops.Xt_bell), U, V)
+            else:
+                inner = sddmm_dot(Xl, U, V)
         else:
             inner = streamed_inner(Xl, U, V)
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
@@ -475,10 +571,12 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
 
     Sparse X: 'auto' densifies on the host when each CELL's dense
     storage fits the threshold (each chip holds only its dense cell);
-    above it cells stream as chunked-COO when the solver allows it
-    (MU, or full-batch linear-link Newton — the fast scattered-sparse
-    path), else per-cell CSR (+ local transposes). 'csr' / 'chunked' /
-    'dense' force the respective layout.
+    above it cells try per-cell BlockEll MXU layouts (block-structured
+    sparsity, use_pallas), then stream as chunked-COO when the solver
+    allows it (MU, or full-batch linear-link Newton — the fast
+    scattered-sparse path), else per-cell CSR (+ local transposes).
+    'csr' (which still tries BlockEll, like the 1-D layouts) /
+    'chunked' / 'dense' force the respective layout.
     """
     import time as _time
 
@@ -490,6 +588,7 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     if mesh is None:
         mesh = make_grid_mesh(r, c)
     sparse_cells = "csr"
+    chunk_ok = False
     if sp.issparse(X):
         chunk_ok = (solver == "mu"
                     or (cfg.x_link == LINEAR
@@ -512,15 +611,19 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
                 # each chip's HBM holds only its dense cell; the HOST
                 # materializes the full matrix while splitting
                 X = np.asarray(X.todense())
-            elif chunk_ok:
-                # over-threshold scattered cells: the streamed layout is
-                # the measured fast path (2.4× segment-sum CSR)
-                sparse_cells = "chunked"
+            else:
+                # over-threshold cells: _prepare_grid tries per-cell
+                # BlockEll first (block-structured, MXU SpMM), then the
+                # streamed chunked layout when the solver allows it
+                # (2.4× segment-sum CSR), then segment-sum CSR
+                sparse_cells = "auto"
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
     ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype,
                                             data_dtype=data_dtype,
-                                            sparse_cells=sparse_cells)
+                                            sparse_cells=sparse_cells,
+                                            use_pallas=cfg.use_pallas,
+                                            chunk_ok=chunk_ok)
     k = U_pad.shape[1]
     Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
          else jnp.zeros((0, k), dtype=dtype))

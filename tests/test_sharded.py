@@ -851,3 +851,138 @@ class TestGridLayout:
             CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
                 n_shards=(2, 4), shard_layout="grid",
                 dtype="float64").fit(Xs, Y)
+
+
+class TestGridBell:
+    """Per-cell BlockEll MXU layouts on the 2-D grid (parallel/grid.py
+    _stack_bell_grid): each cell's block layout stacked with (r, c)
+    leading dims, padded to the global block count with zero blocks,
+    dispatched inside the double-psum shard_map iterations."""
+
+    def _sparse_problem(self, rng):
+        import scipy.sparse as sp
+
+        X = np.abs(rng.randn(67, 53))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        return Xs, Y, U0, V0, Z0
+
+    def test_prepare_grid_builds_stacked_bell(self, rng):
+        from pycmf_tpu.parallel.grid import _prepare_grid
+
+        Xs, Y, U0, V0, _ = self._sparse_problem(rng)
+        ops, _, _, _, _ = _prepare_grid(Xs, Y, U0, V0, 2, 4,
+                                        jnp.float64, use_pallas=True)
+        assert ops.X_bell is not None and ops.Xt_bell is not None
+        assert ops.X_bell.blocks.shape[:2] == (2, 4)
+        # local transposes keep the same (r, c) cell-index order
+        assert ops.Xt_bell.blocks.shape[:2] == (2, 4)
+        # brows stay sorted per cell (zero-padding appends at the last
+        # row-block) so the kernel's row-change logic is intact
+        br = np.asarray(ops.X_bell.brows)
+        assert all(np.all(np.diff(br[i, j]) >= 0)
+                   for i in range(2) for j in range(4))
+
+    def test_mu_bell_grid_matches_segment_sum_and_single(self, rng):
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid", sparse_mode="csr")
+        g1 = CMF(use_pallas=True, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        g0 = CMF(use_pallas=False, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(n_components=4, solver="mu", max_iter=15, tol=0.0,
+                dtype="float64", random_state=0).fit(
+                    Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g1.U_, g0.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(g1.V_, g0.V_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(g1.U_, s.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(g1.loss_history_, s.loss_history_, rtol=1e-10)
+
+    def test_newton_bell_grid_matches_segment_sum(self, rng):
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="newton", max_iter=5, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid", sparse_mode="csr")
+        g1 = CMF(use_pallas=True, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        g0 = CMF(use_pallas=False, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g1.U_, g0.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(g1.V_, g0.V_, rtol=1e-8, atol=1e-10)
+
+    def test_newton_sigmoid_bell_grid_matches(self, rng):
+        """Sigmoid X-link on bell cells: the padding masks must coexist
+        with the MXU block layout (zero blocks are σ-masked, not dropped
+        like the linear case)."""
+        import scipy.sparse as sp
+
+        Xs = sp.csr_matrix((rng.rand(67, 53) < 0.15).astype(float))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = np.abs(rng.randn(67, 4))
+        V0 = np.abs(rng.randn(53, 4))
+        Z0 = np.abs(rng.randn(9, 4))
+        kw = dict(n_components=4, solver="newton", x_link="sigmoid",
+                  max_iter=4, tol=0.0, dtype="float64", random_state=0,
+                  n_shards=(2, 4), shard_layout="grid",
+                  sparse_mode="csr")
+        g1 = CMF(use_pallas=True, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        g0 = CMF(use_pallas=False, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g1.U_, g0.U_, rtol=1e-8, atol=1e-10)
+        assert np.allclose(g1.V_, g0.V_, rtol=1e-8, atol=1e-10)
+
+    def test_bell_grid_device_loop_matches_host(self, rng):
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0, n_shards=(2, 4),
+                  shard_layout="grid", sparse_mode="csr",
+                  use_pallas=True)
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(mh.U_, md.U_, rtol=1e-12)
+        assert np.allclose(mh.loss_history_, md.loss_history_, rtol=1e-12)
+
+    def test_grid_auto_picks_bell_for_block_structured(self, rng,
+                                                       monkeypatch):
+        """'auto' with over-threshold cells whose sparsity is BLOCK
+        structured rides the MXU bell layout (not chunked/segment-sum):
+        512x1024 X with nonzeros only in (bi+bj)%2==0 128-blocks, so each
+        256x256 cell stores 2 of its 4 blocks — bell bytes fit a
+        threshold the dense cell exceeds."""
+        import scipy.sparse as sp
+
+        import pycmf_tpu.ops.chunked as ck
+        import pycmf_tpu.parallel.grid as gridmod
+        import pycmf_tpu.utils.validation as val
+
+        rows, cols, data = [], [], []
+        for bi in range(4):
+            for bj in range(8):
+                if (bi + bj) % 2 == 0:
+                    rows.append(bi * 128 + rng.randint(0, 128, 400))
+                    cols.append(bj * 128 + rng.randint(0, 128, 400))
+                    data.append(np.abs(rng.randn(400)) + 0.1)
+        Xb = sp.coo_matrix(
+            (np.concatenate(data),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(512, 1024)).tocsr()
+        Y = np.abs(rng.randn(1024, 5))
+        bell_calls, chunk_calls = [], []
+        real_bell = gridmod._stack_bell_grid
+        monkeypatch.setattr(
+            gridmod, "_stack_bell_grid",
+            lambda *a, **k: (bell_calls.append(1), real_bell(*a, **k))[1])
+        monkeypatch.setattr(
+            ck, "stack_chunked_grid",
+            lambda *a, **k: chunk_calls.append(1))
+        # dense cell = 256*256*8 B = 512 KiB > threshold; each cell's
+        # bell = 2 blocks * 128*128*8 B = 256 KiB <= threshold
+        monkeypatch.setattr(val, "DENSIFY_THRESHOLD", 300_000)
+        kw = dict(n_components=4, solver="mu", max_iter=3, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid", use_pallas=True,
+                **kw).fit(Xb, Y)
+        assert bell_calls and not chunk_calls
+        s = CMF(sparse_mode="dense", **kw).fit(Xb, Y)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.V_, s.V_, rtol=1e-9, atol=1e-11)
