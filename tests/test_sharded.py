@@ -986,3 +986,19 @@ class TestGridBell:
         s = CMF(sparse_mode="dense", **kw).fit(Xb, Y)
         assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
         assert np.allclose(g.V_, s.V_, rtol=1e-9, atol=1e-11)
+
+    def test_bf16_bell_grid_matches_single_device(self, rng):
+        """bf16 data cells + per-cell BlockEll: the bell blocks store at
+        the data dtype, so quantization (not reduction order) dominates —
+        the parity partner is the single-device fit with the SAME bf16
+        storage."""
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="mu", max_iter=10, tol=0.0,
+                  random_state=0, dtype="float32",
+                  data_dtype="bfloat16")
+        g = CMF(n_shards=(2, 4), shard_layout="grid", sparse_mode="csr",
+                use_pallas=True, **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(**kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=2e-2, atol=1e-4)
+        assert np.isclose(g.reconstruction_err_, s.reconstruction_err_,
+                          rtol=1e-2)
