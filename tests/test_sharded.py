@@ -1002,3 +1002,33 @@ class TestGridBell:
         assert np.allclose(g.U_, s.U_, rtol=2e-2, atol=1e-4)
         assert np.isclose(g.reconstruction_err_, s.reconstruction_err_,
                           rtol=1e-2)
+
+    def test_grid_auto_bell_refusal_falls_to_chunked(self, rng,
+                                                     monkeypatch):
+        """Over-threshold SCATTERED cells with use_pallas: the bell build
+        is attempted, refuses (block bytes exceed the threshold), and
+        'auto' falls through to the streamed chunked layout."""
+        import pycmf_tpu.ops.chunked as ck
+        import pycmf_tpu.parallel.grid as gridmod
+        import pycmf_tpu.utils.validation as val
+
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        bell_calls, chunk_calls = [], []
+        real_bell = gridmod._stack_bell_grid
+        real_chunk = ck.stack_chunked_grid
+        monkeypatch.setattr(
+            gridmod, "_stack_bell_grid",
+            lambda *a, **k: (bell_calls.append(1), real_bell(*a, **k))[1])
+        monkeypatch.setattr(
+            ck, "stack_chunked_grid",
+            lambda *a, **k: (chunk_calls.append(1),
+                             real_chunk(*a, **k))[1])
+        monkeypatch.setattr(val, "DENSIFY_THRESHOLD", 64)
+        kw = dict(n_components=4, solver="mu", max_iter=3, tol=0.0,
+                  dtype="float64", random_state=0)
+        g = CMF(n_shards=(2, 4), shard_layout="grid", use_pallas=True,
+                **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert bell_calls, "bell layout was never attempted"
+        assert chunk_calls, "refusal did not fall through to chunked"
+        s = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
