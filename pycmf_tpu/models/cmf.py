@@ -553,7 +553,12 @@ class CMF(BaseEstimator, TransformerMixin):
             Uf, _, _, _, _, _, _ = run_sharded(
                 self.solver, X, None, np.asarray(U0, dtype=np.float64),
                 self.V_, None, cfg, hyper, rng, n_shards=n_shards,
-                layout="rows", dtype=dt, sparse_mode=self.sparse_mode,
+                layout="rows", dtype=dt,
+                # per-matrix resolution, NOT the raw kwarg: a sigmoid
+                # x_link must densify here exactly as fit-time
+                # _validate does, or the sharded fold-in crashes on
+                # sparse X where the single-chip fold-in works
+                sparse_mode=self._matrix_sparse_mode(X, self.x_link),
                 data_dtype=None if ddt == dt else ddt, **kw)
             return np.asarray(jax.device_get(Uf), dtype=np.float64)
 

@@ -375,7 +375,8 @@ def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
     return ys.reshape(X.n_pad, k)[:n], numV, gramU
 
 
-def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
+def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps,
+                      row_mask=None):
     """One streamed MU iteration leg: update U and accumulate V's X-side
     terms in the SAME pass over X (the fused-kernel contract,
     ops/pallas/mu_fused.py / solvers/mu.py make_mu_step):
@@ -384,31 +385,33 @@ def chunked_mu_u_pass(X: ChunkedCoo, U, V, VtV, l1, l2, eps):
         numV  = Σ_c X_cᵀ U_c_new          (XᵀU_new, already global)
         gramU = Σ_c U_c_newᵀ U_c_new      (U_newᵀU_new)
 
-    Returns (U_new[:n], numV, gramU). Padding rows of U (beyond n) are
-    masked to exact zeros in-pass — the ratio alone would give 0/0 = NaN
-    when l1 = ε = 0.
+    Returns (U_new[:n], numV, gramU). Padding rows are masked to exact
+    zeros in-pass — the ratio alone would give 0/0 = NaN when
+    l1 = ε = 0. row_mask (n,) — 1.0 on true rows — lets a sharded caller
+    mask its OWN zero-padding rows, which are below this layout's n.
     """
     n, m = X.shape
     k = U.shape[1]
     Up = _pad_rows(U, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+    if row_mask is None:
+        valid = jnp.arange(X.n_pad) < n
+    else:
+        valid = _pad_rows(row_mask[:, None].astype(U.dtype),
+                          X.n_pad)[:, 0] > 0.5
+    vp = valid.reshape(X.n_chunks, X.chunk_rows)
 
     def body(carry, inp):
         numV, gramU = carry
-        ci, dv, cv, rv, uc = inp
+        dv, cv, rv, uc, vc = inp
         Xc = _densify_chunk(X, dv, cv, rv)
         num = matmul(Xc, V)
         u_new = uc * num / (matmul(uc, VtV) + l1 + l2 * uc + eps)
-        # padding rows (beyond n) are 0/0 = NaN when l1 = eps = 0 —
-        # mask them explicitly instead of relying on the ε guard
-        valid = (ci * X.chunk_rows
-                 + jnp.arange(X.chunk_rows))[:, None] < n
-        u_new = jnp.where(valid, u_new, 0.0)
+        u_new = jnp.where(vc[:, None], u_new, 0.0)
         numV = numV + matmul(Xc.T, u_new)
         gramU = gramU + matmul(u_new.T, u_new)
         return (numV, gramU), u_new
 
     acc0 = (jnp.zeros((m, k), U.dtype), jnp.zeros((k, k), U.dtype))
     (numV, gramU), ys = jax.lax.scan(
-        body, acc0,
-        (jnp.arange(X.n_chunks), X.data, X.cols, X.rows, Up))
+        body, acc0, (X.data, X.cols, X.rows, Up, vp))
     return ys.reshape(X.n_pad, k)[:n], numV, gramU

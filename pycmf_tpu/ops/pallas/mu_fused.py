@@ -72,6 +72,13 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
 
     den = jnp.dot(u, vtv_ref[:], preferred_element_type=acc)
     unew = u * num_u / (den + l1 + l2 * u + eps)
+    # Zero the rows past nv (shard padding and the edge tile's OOB reads):
+    # padding rows are 0·0/0 = NaN when l1 = eps = 0, and a NaN row would
+    # poison the accumulators (0·NaN = NaN) and the returned factors.
+    rows = i * x.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (x.shape[0], 1), 0)
+    valid = rows < nv_ref[0, 0]
+    unew = jnp.where(valid, unew, 0.0)
     unew_ref[:] = unew
 
     @pl.when(i == 0)
@@ -95,14 +102,10 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, vtv_ref,
     @pl.when(i == n_prog - 1)
     def _acc_edge():
         # Non-divisible n: the last tile's out-of-bounds rows read GARBAGE
-        # (measured on hardware — not zeros), so mask them out of the
-        # accumulators. Valid rows' per-row results are unaffected and
-        # out-of-bounds output rows are dropped by the partial write.
-        rows = i * x.shape[0] + jax.lax.broadcasted_iota(
-            jnp.int32, (x.shape[0], 1), 0)
-        valid = rows < nv_ref[0, 0]
-        accumulate(jnp.where(valid, unew, 0),
-                   jnp.where(valid, x, jnp.zeros_like(x)))
+        # (measured on hardware — not zeros), so mask X too (unew is
+        # already zeroed above). Valid rows' per-row results are unaffected
+        # and out-of-bounds output rows are dropped by the partial write.
+        accumulate(unew, jnp.where(valid, x, jnp.zeros_like(x)))
         numvt_ref[:] = numvt_acc[:]
         gramu_ref[:] = gramu_acc[:]
 
@@ -139,11 +142,15 @@ def _pick_row_tile(n: int, m: int, itemsize: int) -> int:
 
 def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
                     VtV: jnp.ndarray, l1, l2, eps,
-                    row_tile: int | None = None):
+                    row_tile: int | None = None, n_valid=None):
     """Single-X-pass MU U-update + V-numerator accumulation.
 
     X: (n, m) dense (f32 or bf16); U: (n, k) f32; V: (m, k) f32.
     Returns (U_new (n,k), numV (m,k), gramU (k,k)) — all float32-family.
+
+    n_valid (static or traced int): rows past it are zeroed in-kernel —
+    sharded callers pass the shard's true row count so zero-padding rows
+    (0·0/0 = NaN at l1 = eps = 0) cannot poison the factors/accumulators.
     """
     n, m = X.shape
     k = U.shape[1]
@@ -157,7 +164,8 @@ def fused_mu_u_pass(X: jnp.ndarray, U: jnp.ndarray, V: jnp.ndarray,
     Vtx = V.T.astype(vt_dt)
     scal = jnp.stack([jnp.asarray(l1, fdtype), jnp.asarray(l2, fdtype),
                       jnp.asarray(eps, fdtype)]).reshape(1, 3)
-    nv = jnp.asarray(n, jnp.int32).reshape(1, 1)
+    nv = jnp.asarray(n if n_valid is None else n_valid,
+                     jnp.int32).reshape(1, 1)
     acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
 
     unew, numvt, gramu = pl.pallas_call(

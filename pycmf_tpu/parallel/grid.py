@@ -366,6 +366,9 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     if cfg.update_U:
         num = jax.lax.psum(xmm(Xl, V, X_bl), COL_AXIS)
         U = mu_ratio_update(U, VtV, num, l1, l2, eps)
+        # padding rows are 0·0/0 = NaN when l1 = eps = 0 — force exact
+        # zeros before U enters the V-side psums (0·NaN = NaN)
+        U = jnp.where(ops.nmask[:, None] > 0.5, U, 0.0)
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yl.T, V), COL_AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps)
@@ -376,6 +379,7 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
             num = num + matmul(Yl, Z)   # Y_j rows are local — no psum
             S = S + gram(Z)
         V = mu_ratio_update(V, S, num, l1, l2, eps)
+        V = jnp.where(ops.mmask[:, None] > 0.5, V, 0.0)
     return U, V, Z
 
 

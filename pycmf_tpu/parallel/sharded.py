@@ -592,21 +592,27 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
     num_vx = gram_u = None
     VtV = gram(V) if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None
     if cfg.update_U:
+        # Shard zero-padding rows must come out of the update as EXACT
+        # zeros: the ratio gives 0·0/0 = NaN there when l1 = eps = 0, and
+        # one NaN row poisons every psummed term (0·NaN = NaN).
         if chunk and cfg.update_V:
             # streamed single-X-pass per shard: the scan's accumulators
             # are exactly the shared-V terms the layout psums below
             from ..ops.chunked import chunked_mu_u_pass
 
             U, num_vx, gram_u = chunked_mu_u_pass(
-                local_chunked(ops.X), U, V, VtV, l1, l2, eps)
+                local_chunked(ops.X), U, V, VtV, l1, l2, eps,
+                row_mask=mask)
         elif fused:
             from ..ops.pallas.mu_fused import fused_mu_u_pass
 
-            U, num_vx, gram_u = fused_mu_u_pass(ops.X, U, V, VtV,
-                                                l1, l2, eps)
+            U, num_vx, gram_u = fused_mu_u_pass(
+                ops.X, U, V, VtV, l1, l2, eps,
+                n_valid=jnp.sum(mask).astype(jnp.int32))
         else:
             num = _rows_x_mm(ops, V, cfg)
             U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)
+            U = jnp.where(mask[:, None] > 0.5, U, 0.0)
     if cfg.has_Y and cfg.update_Z:
         if is_sparse(ops.Y):
             num = spmm(ops.Yt, V)
@@ -684,6 +690,9 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
             num = num + matmul(Yd, Z)
             S = S + gram(Z)
         V = mu_ratio_update(V, S, num, l1, l2, eps, up)
+        # shard zero-padding rows are 0·0/0 = NaN when l1 = eps = 0 —
+        # force them back to exact zeros before they enter any psum
+        V = jnp.where(ops.mask[:, None] > 0.5, V, 0.0)
     return U, V, Z
 
 

@@ -176,3 +176,83 @@ class TestReviewFixes:
                 n_shards=(2, 2), sg_sample_ratio=0.5, max_iter=3,
                 random_state=0).fit(X, Y)
         assert np.isfinite(m.reconstruction_err_)
+
+
+class TestEpsZeroShardedParity:
+    """Round-3 review finding: every sharded layout NaN'd at
+    eps=0, alpha=0 — the zero-padding rows' ratio update is 0·0/0 = NaN
+    without the l1/ε guard, and one NaN row poisons every psummed term
+    (0·NaN = NaN). The fix forces padding rows to exact zeros after each
+    MU ratio update (and in-kernel for the fused/chunked passes); the
+    single-device fit (no padding) is the parity reference."""
+
+    def _problem(self, rng):
+        X = np.abs(rng.randn(67, 53)) + 0.01
+        Y = np.abs(rng.randn(53, 9))
+        Xs = sp.csr_matrix(X * (X > 0.8))
+        return X, Xs, Y
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.RandomState(7)
+
+    @pytest.mark.parametrize("kw", [
+        dict(n_shards=8),
+        dict(n_shards=8, use_pallas=True),
+        dict(n_shards=8, shard_layout="cols"),
+        dict(n_shards=(2, 4), shard_layout="grid"),
+    ], ids=["rows", "rows-fused", "cols", "grid"])
+    def test_dense_layouts_match_single(self, rng, kw):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        X, _, Y = self._problem(rng)
+        base = dict(n_components=4, solver="mu", max_iter=8, tol=0.0,
+                    dtype="float64", random_state=0, eps=0.0, alpha=0.0)
+        s = CMF(**base).fit(X, Y)
+        m = CMF(**base, **kw).fit(X, Y)
+        assert np.all(np.isfinite(m.U_))
+        assert np.allclose(m.U_, s.U_, rtol=1e-10, atol=1e-12)
+        assert np.allclose(m.V_, s.V_, rtol=1e-10, atol=1e-12)
+
+    @pytest.mark.parametrize("kw", [
+        dict(n_shards=8, sparse_mode="chunked"),
+        dict(n_shards=(2, 4), shard_layout="grid", sparse_mode="csr"),
+    ], ids=["rows-chunked", "grid-csr"])
+    def test_sparse_layouts_finite(self, rng, kw):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        _, Xs, Y = self._problem(rng)
+        base = dict(n_components=4, solver="mu", max_iter=8, tol=0.0,
+                    dtype="float64", random_state=0, eps=0.0, alpha=0.0)
+        m = CMF(**base, **kw).fit(Xs, Y)
+        assert np.all(np.isfinite(m.U_)) and np.all(np.isfinite(m.V_))
+
+
+class TestShardedTransformSparseMode:
+    """Round-3 review finding: the sharded transform passed the raw
+    sparse_mode kwarg instead of the per-matrix resolution, so a
+    sigmoid-x model crashed folding in sparse X where the single-chip
+    fold-in (which densifies, like fit does) works."""
+
+    def test_sigmoid_x_sparse_transform_sharded(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        rng = np.random.RandomState(3)
+        Xs = sp.csr_matrix((rng.rand(67, 53) < 0.2).astype(float))
+        Y = np.abs(rng.randn(53, 9))
+        m = CMF(n_components=4, solver="newton", x_link="sigmoid",
+                random_state=0, max_iter=4, dtype="float64", n_shards=8,
+                U_non_negative=False, V_non_negative=False,
+                Z_non_negative=False).fit(Xs, Y)
+        Xnew = sp.csr_matrix((rng.rand(25, 53) < 0.2).astype(float))
+        t_shard = m.transform(Xnew)
+        m.n_shards = None
+        t_single = m.transform(Xnew)
+        assert t_shard.shape == (25, 4)
+        assert np.allclose(t_shard, t_single, rtol=1e-9, atol=1e-11)
