@@ -256,3 +256,28 @@ class TestShardedTransformSparseMode:
         t_single = m.transform(Xnew)
         assert t_shard.shape == (25, 4)
         assert np.allclose(t_shard, t_single, rtol=1e-9, atol=1e-11)
+
+
+class TestGridModelTransform:
+    """A grid-fit model must still fold in new rows: transform() routes
+    through the rows layout with the flattened device count (new rows
+    only shard n; V stays replicated), and must match the single-device
+    fold-in."""
+
+    def test_grid_fit_then_transform(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        rng = np.random.RandomState(11)
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        m = CMF(n_components=4, solver="mu", max_iter=6, tol=0.0,
+                dtype="float64", random_state=0,
+                n_shards=(2, 4), shard_layout="grid").fit(X, Y)
+        Xnew = np.abs(rng.randn(21, 53))
+        t_grid = m.transform(Xnew)
+        m.n_shards = None
+        t_single = m.transform(Xnew)
+        assert t_grid.shape == (21, 4)
+        assert np.allclose(t_grid, t_single, rtol=1e-9, atol=1e-11)
