@@ -101,10 +101,12 @@ def is_chunked(A) -> bool:
 
 
 def pick_chunk_rows(n: int, m: int,
-                    buffer_bytes: int = DEFAULT_BUFFER_BYTES) -> int:
+                    buffer_bytes: int = DEFAULT_BUFFER_BYTES,
+                    itemsize: int = 4) -> int:
     """Rows per chunk: the largest multiple of 128 (MXU/lane tile) whose
-    (R, m) f32 buffer fits ``buffer_bytes``; floor 8 (f32 sublane)."""
-    r = buffer_bytes // max(1, m * 4)
+    (R, m) buffer at the storage dtype (``itemsize`` bytes/elt) fits
+    ``buffer_bytes``; floor 8 (f32 sublane)."""
+    r = buffer_bytes // max(1, m * itemsize)
     if r >= 128:
         r = (r // 128) * 128
         n_up = -(-n // 128) * 128   # cap at n rounded UP (keeps tiling)
@@ -133,7 +135,7 @@ def chunked_from_scipy(A, dtype=jnp.float32, *,
     A.sum_duplicates()
     n, m = A.shape
     R = chunk_rows if chunk_rows is not None else pick_chunk_rows(
-        n, m, buffer_bytes)
+        n, m, buffer_bytes, jnp.dtype(dtype).itemsize)
     C = -(-n // R)
     order = np.argsort(A.row, kind="stable")
     rows = A.row[order].astype(np.int64)
@@ -246,7 +248,8 @@ def stack_chunked_blocks(blocks, dtype, *,
     traced program, which must be identical across devices.
     """
     local_shape = blocks[0].shape
-    R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes)
+    R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes,
+                        jnp.dtype(dtype).itemsize)
     # return_numpy: stack on the host and upload ONCE — per-shard device
     # round-trips would triple the COO traffic over the slow device link
     cks = [chunked_from_scipy(b, dtype=dtype, chunk_rows=R,
@@ -288,28 +291,17 @@ def stack_chunked_grid(cells, dtype, *,
     chunk geometry (R, C); the per-chunk capacity L pads to the global max
     — chunk geometry is part of the traced program, which must be
     identical across mesh positions.
+
+    One implementation serves both meshes: the cells flatten row-major
+    through stack_chunked_blocks and the leading device dim reshapes to
+    (r, c) — a free device-side view.
     """
-    local_shape = cells[0][0].shape
-    R = pick_chunk_rows(local_shape[0], local_shape[1], buffer_bytes)
-    cks = [[chunked_from_scipy(b, dtype=dtype, chunk_rows=R,
-                               return_numpy=True)
-            for b in row] for row in cells]
-    C = max(x.n_chunks for row in cks for x in row)
-    L = max(x.data.shape[1] for row in cks for x in row)
-
-    def pad(a):
-        return np.pad(a, ((0, C - a.shape[0]), (0, L - a.shape[1])))
-
-    def stk(get, dt=None):
-        a = np.stack([np.stack([get(x) for x in row]) for row in cks])
-        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
-
-    return ChunkedCoo(
-        stk(lambda x: pad(x.data), dtype),
-        stk(lambda x: pad(x.cols)),
-        stk(lambda x: pad(x.rows)),
-        stk(lambda x: x.sq_norm),
-        local_shape, R, sum(x.true_nnz for row in cks for x in row))
+    r, c = len(cells), len(cells[0])
+    flat = stack_chunked_blocks([b for row in cells for b in row], dtype,
+                                buffer_bytes=buffer_bytes)
+    leaves, aux = flat.tree_flatten()
+    return ChunkedCoo(*(x.reshape((r, c) + x.shape[1:]) for x in leaves),
+                      *aux)
 
 
 def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,

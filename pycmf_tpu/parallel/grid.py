@@ -76,7 +76,8 @@ class _GridOps(NamedTuple):
     rsq_u: jnp.ndarray    # (n_pad, c)      P(ROW, COL) partial ‖xᵢ‖²
     rsq_v: jnp.ndarray    # (m_pad, r)      P(COL, ROW) partial ‖(Xᵀ)ᵢ‖²
     Xt: object = None     # stacked per-cell CsrMatrix of the LOCAL
-                          # transposes (sparse only; dense uses Xl.T)
+                          # transposes (CSR cells only; dense uses Xl.T,
+                          # chunked streams chunked_spmm_t — no Xt)
     X_bell: object = None    # stacked per-cell BlockEll of X (MXU SpMM)
     Xt_bell: object = None   # stacked per-cell BlockEll of local Xᵀ
 
@@ -92,43 +93,31 @@ def _grid_specs(ops: _GridOps) -> _GridOps:
                     cell_spec(ops.Xt_bell))
 
 
+def _regrid(stk, r, c):
+    """Reshape a stacked layout's leading device dim d = r·c to (r, c).
+
+    The 1-D stackers (parallel/sharded, ops/chunked) own the per-block
+    conversion and padding conventions; the grid variants flatten their
+    cells row-major through them and re-view the leading dim here — a
+    free device-side reshape, and one padding implementation per format."""
+    if stk is None:
+        return None
+    leaves, aux = stk.tree_flatten()
+    return type(stk).tree_unflatten(
+        aux, tuple(x.reshape((r, c) + x.shape[1:]) for x in leaves))
+
+
 def _stack_csr_grid(cells, dtype):
     """Stack an r×c grid of scipy CSR cells into one CsrMatrix whose
     leaves carry (r, c) leading dims (shard_map spec P(ROW, COL)).
 
-    All cells share the LOCAL shape; nnz arrays pad to the global max
-    with (data=0, col=0, row=last_row) — sorted no-ops for segment ops
-    (same convention as parallel/sharded._stack_csr_blocks)."""
-    import scipy.sparse as sp
+    Padding conventions live in parallel/sharded._stack_csr_blocks
+    (nnz arrays pad to the global max with sorted no-op entries)."""
+    from .sharded import _stack_csr_blocks
 
-    from ..ops.sparse import CsrMatrix
-
-    local_shape = cells[0][0].shape
-    rows = local_shape[0]
-    nnz_max = max(1, max(b.nnz for row in cells for b in row))
-    r, c = len(cells), len(cells[0])
-
-    def one(b):
-        b = sp.csr_matrix(b)
-        b.sum_duplicates()
-        pad = nnz_max - b.nnz
-        data = np.pad(np.asarray(b.data, dtype=np.float64), (0, pad))
-        colsi = np.pad(np.asarray(b.indices, dtype=np.int32), (0, pad))
-        rid = np.repeat(np.arange(rows, dtype=np.int32), np.diff(b.indptr))
-        rid = np.pad(rid, (0, pad), constant_values=rows - 1)
-        sq = np.sum(np.asarray(b.data, dtype=np.float64) ** 2)
-        return data, colsi, np.asarray(b.indptr, np.int32), rid, sq
-
-    parts = [[one(b) for b in row] for row in cells]
-
-    def stk(idx, dt=None):
-        a = np.stack([np.stack([p[idx] for p in row]) for row in parts])
-        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
-
-    sq_dt = jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) \
-        else dtype
-    return CsrMatrix(stk(0, dtype), stk(1), stk(2), stk(3),
-                     stk(4, sq_dt), local_shape)
+    return _regrid(_stack_csr_blocks(
+        [b for row in cells for b in row], dtype),
+        len(cells), len(cells[0]))
 
 
 def _local_cell(stk):
@@ -158,37 +147,11 @@ def _stack_bell_grid(cells, dtype, max_bytes):
     cell's sparsity is too scattered for the block layout to pay off
     (bell_from_scipy refuses) — the caller falls back to segment-sum CSR.
     """
-    from ..ops.pallas.bell import BlockEll, bell_from_scipy
+    from .sharded import _stack_bell_blocks
 
-    bells = []
-    for row in cells:
-        br = []
-        for b in row:
-            bl = bell_from_scipy(b, dtype=dtype, max_bytes=max_bytes,
-                                 return_numpy=True)
-            if bl is None:
-                return None
-            br.append(bl)
-        bells.append(br)
-    nb = max(b.blocks.shape[0] for row in bells for b in row)
-    R = bells[0][0].blocks.shape[1]
-    nrb = -(-bells[0][0].shape[0] // R)
-
-    def pad(b):
-        p = nb - b.blocks.shape[0]
-        return (np.pad(b.blocks, ((0, p), (0, 0), (0, 0))),
-                np.pad(b.brows, (0, p), constant_values=nrb - 1),
-                np.pad(b.bcols, (0, p)))
-
-    parts = [[pad(b) for b in row] for row in bells]
-
-    def stk(idx, dt=None):
-        a = np.stack([np.stack([p[idx] for p in row]) for row in parts])
-        return jnp.asarray(a) if dt is None else jnp.asarray(a, dtype=dt)
-
-    fill = float(np.mean([b.fill for row in bells for b in row]))
-    return BlockEll(stk(0, dtype), stk(1), stk(2),
-                    bells[0][0].shape, fill)
+    return _regrid(_stack_bell_blocks(
+        [b for row in cells for b in row], dtype, max_bytes),
+        len(cells), len(cells[0]))
 
 
 def _local_bell_cell(stk):
@@ -272,8 +235,14 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
         if sparse_cells == "chunked":
             from ..ops.chunked import stack_chunked_grid
 
+            # one row-chunked layout serves BOTH orientations (same
+            # contract as the 1-D rows layout): the V-side terms stream
+            # chunked_spmm_t over the SAME cells, so the transposed COO
+            # payload is never built — half the upload over the ~MB/s
+            # tunnel and half the COO HBM on exactly the jointly-huge
+            # problems the grid targets
             Xd = stack_chunked_grid(cells, ddt)
-            Xtd = stack_chunked_grid(tcells, ddt)
+            Xtd = None
         else:
             Xd = _stack_csr_grid(cells, ddt)
             Xtd = _stack_csr_grid(tcells, ddt)
@@ -330,7 +299,9 @@ def _grid_local_x(ops: _GridOps):
     from ..ops.sparse import is_sparse
 
     if is_chunked(ops.X):
-        return _local_chunked_cell(ops.X), _local_chunked_cell(ops.Xt)
+        # chunked cells carry NO transposed layout — V-side consumers
+        # stream chunked_spmm_t over the forward layout instead
+        return _local_chunked_cell(ops.X), None
     if is_sparse(ops.X):
         return _local_cell(ops.X), _local_cell(ops.Xt)
     return ops.X, ops.X.T
@@ -373,7 +344,12 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
         num = jax.lax.psum(matmul(Yl.T, V), COL_AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps)
     if cfg.update_V:
-        num = jax.lax.psum(xmm(Xtl, U, Xt_bl), ROW_AXIS)
+        if is_chunked(Xl):
+            from ..ops.chunked import chunked_spmm_t
+
+            num = jax.lax.psum(chunked_spmm_t(Xl, U), ROW_AXIS)
+        else:
+            num = jax.lax.psum(xmm(Xtl, U, Xt_bl), ROW_AXIS)
         S = jax.lax.psum(gram(U), ROW_AXIS)
         if cfg.has_Y:
             num = num + matmul(Yl, Z)   # Y_j rows are local — no psum
@@ -415,7 +391,20 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             masks=(ymask,), axis_name=COL_AXIS, **common)
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
-        terms = (Term(Xtl, U, Xt_bl, ops.rsq_v[:, 0]),)
+        from ..ops.chunked import is_chunked
+
+        if is_chunked(Xl):
+            # same contract as the rows layout's chunked V branch: local
+            # XᵀU / UᵀU partials stream over the FORWARD layout (no
+            # transposed COO payload exists); D is a placeholder the
+            # linear link never reads, and the partial row norms are
+            # completed by the φ psums over ROW
+            from ..ops.chunked import chunked_spmm_t
+
+            terms = (Term(Xl, U, None, ops.rsq_v[:, 0],
+                          DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+        else:
+            terms = (Term(Xtl, U, Xt_bl, ops.rsq_v[:, 0]),)
         links = (cfg.x_link,)
         dist = (True,)
         masks = (xtmask,)

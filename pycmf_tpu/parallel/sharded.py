@@ -608,7 +608,7 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
 
             U, num_vx, gram_u = fused_mu_u_pass(
                 ops.X, U, V, VtV, l1, l2, eps,
-                n_valid=jnp.sum(mask).astype(jnp.int32))
+                n_valid=jnp.sum((mask > 0.5).astype(jnp.int32)))
         else:
             num = _rows_x_mm(ops, V, cfg)
             U = mu_ratio_update(U, VtV, num, l1, l2, eps, up)

@@ -160,13 +160,17 @@ def _aux_loss(cfg: SolverConfig):
     ⟨X, U Vᵀ⟩ at the current iterate). The Y term is evaluated directly
     (Y is the small matrix). Same value as _loss_core up to fp association.
     """
+    from ..ops.chunked import is_chunked as _is_ck
     from ..ops.losses import penalty, reconstruction_term
     from ..ops.sparse import is_sparse as _is_sp
 
     def loss_fn(state, aux, hyper: Hyper):
         X, Y, U, V, Z = state
         num_vx, gram_u = aux
-        a_sq = X.A.sq_norm if _is_sp(X.A) else X.a_sq
+        # CSR and ChunkedCoo both carry their own Σdata² (the canonical
+        # source ops/losses.py uses); X.a_sq may be None for direct
+        # run_mu callers that build the Coupled by hand
+        a_sq = (X.A.sq_norm if _is_sp(X.A) or _is_ck(X.A) else X.a_sq)
         inner = jnp.sum(num_vx * V)
         x_term = 0.5 * (a_sq - 2.0 * inner + jnp.sum(gram_u * gram(V)))
         loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio) \

@@ -385,20 +385,15 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 if chunked:
                     # streamed scatter+MXU pass (ops/chunked.py): same
                     # math, same accumulator contract as the fused kernel
-                    from ..ops.chunked import chunked_newton_linear_u_pass
-
-                    U, numv_x, gram_u = chunked_newton_linear_u_pass(
-                        X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
-                        trials=cfg.line_search_trials,
-                        non_negative=cfg.U_non_negative)
+                    from ..ops.chunked import (
+                        chunked_newton_linear_u_pass as u_pass)
                 else:
-                    from ..ops.pallas.newton_fused import \
-                        fused_newton_linear_u_pass
-
-                    U, numv_x, gram_u = fused_newton_linear_u_pass(
-                        X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
-                        trials=cfg.line_search_trials,
-                        non_negative=cfg.U_non_negative)
+                    from ..ops.pallas.newton_fused import (
+                        fused_newton_linear_u_pass as u_pass)
+                U, numv_x, gram_u = u_pass(
+                    X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
+                    trials=cfg.line_search_trials,
+                    non_negative=cfg.U_non_negative)
             else:
                 U = newton_update_factor(
                     kU, U, (Term(X.A, V, X.A_bell or X.A_tiled, X.row_sq),),
