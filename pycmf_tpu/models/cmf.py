@@ -272,6 +272,12 @@ class CMF(BaseEstimator, TransformerMixin):
             return "auto"
         if (self.solver == "newton" and link == "sigmoid"
                 and sp.issparse(A)):
+            if self.sparse_mode in ("chunked", "auto") \
+                    and is_x and self._chunked_ok():
+                # streamed sigmoid Newton (solvers/newton_chunked.py):
+                # per-chunk predictions, X's dense form never exists —
+                # 'auto' falls back to it past the densify threshold
+                return self.sparse_mode
             if self.sparse_mode == "csr":
                 import warnings
 
@@ -279,17 +285,26 @@ class CMF(BaseEstimator, TransformerMixin):
                     "sparse_mode='csr' is overridden to 'dense' for a "
                     "sigmoid-linked matrix under solver='newton': the "
                     "Newton update materializes dense sigmoid predictions "
-                    "of the same size anyway", UserWarning, stacklevel=3)
+                    "of the same size anyway (sparse_mode='chunked' "
+                    "streams them per row chunk)", UserWarning,
+                    stacklevel=3)
             return "dense"
         return self.sparse_mode
 
     def _chunked_ok(self) -> bool:
         """Streaming chunked-COO X works for MU and for full-batch
-        linear-link Newton (the streamed U pass + DB/BtB-fed V update);
-        sigmoid X densifies anyway and sampled X needs dense columns."""
+        Newton: linear link (streamed U pass + DB/BtB-fed V update) on
+        any layout, sigmoid link (per-chunk streamed predictions,
+        solvers/newton_chunked.py) single-chip only; sampled X needs
+        dense columns."""
         if self.solver == "mu":
             return True
-        return self.x_link == "linear" and self.sg_sample_ratio >= 1.0
+        if self.sg_sample_ratio < 1.0:
+            return False
+        if self.x_link == "linear":
+            return True
+        ns = self._resolve_n_shards()
+        return ns is None or ns <= 1
 
     def _stays_sparse(self, A) -> bool:
         """Will this host matrix remain CSR/chunked on device (i.e. NOT a
@@ -334,9 +349,10 @@ class CMF(BaseEstimator, TransformerMixin):
             if self.solver == "newton" and not self._chunked_ok():
                 raise ValueError(
                     "sparse_mode='chunked' supports Newton only with "
-                    "x_link='linear' and sg_sample_ratio=1.0 (the "
-                    "streamed U pass); use sparse_mode='csr'/'dense' or "
-                    "n_shards to row-shard")
+                    "sg_sample_ratio=1.0 (sampling needs dense columns), "
+                    "and a sigmoid x_link only single-chip (streamed "
+                    "predictions have no sharded carrier yet); use "
+                    "sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
                     and self.shard_layout not in ("rows", "grid"):

@@ -100,6 +100,24 @@ def is_chunked(A) -> bool:
     return isinstance(A, ChunkedCoo)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ChunkedT:
+    """Marks a chunked layout consumed as its TRANSPOSE: a Newton term
+    whose D is conceptually X.ckᵀ (rows of the factor see X's columns).
+    No transposed payload exists — consumers stream the forward chunks
+    (solvers/newton_chunked.py)."""
+
+    ck: ChunkedCoo
+
+    def tree_flatten(self):
+        return (self.ck,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
 def pick_chunk_rows(n: int, m: int,
                     buffer_bytes: int = DEFAULT_BUFFER_BYTES,
                     itemsize: int = 4) -> int:

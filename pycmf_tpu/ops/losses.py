@@ -173,6 +173,34 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
     For CSR A:  ‖A − S‖² = Σ S² + Σ_nnz (a² − 2 a·S)  where S = σ(M Bᵀ);
     only Σ S² needs the dense product, and it streams in blocks.
     """
+    from .chunked import is_chunked
+
+    if is_chunked(A):
+        # streamed chunked-COO A: one scatter+residual pass per chunk,
+        # chunk padding rows masked (their σ(0) = 0.5 is not data)
+        from .chunked import _densify_chunk, _pad_rows
+
+        if row_mask is not None:
+            raise NotImplementedError(
+                "chunked sigmoid residuals have no sharded row_mask "
+                "carrier (single-chip layout)")
+        n = A.shape[0]
+        k = M.shape[1]
+        Mp = _pad_rows(M, A.n_pad).reshape(A.n_chunks, A.chunk_rows, k)
+        valid = (jnp.arange(A.n_pad) < n).astype(M.dtype).reshape(
+            A.n_chunks, A.chunk_rows)
+
+        def body(carry, inp):
+            dv, cv, rv, mb, vc = inp
+            Ac = _densify_chunk(A, dv, cv, rv)
+            r = Ac.astype(mb.dtype) - jax.nn.sigmoid(matmul(mb, B.T))
+            return carry + 0.5 * jnp.sum(
+                vc * jnp.sum(r * r, axis=1)), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), M.dtype),
+            (A.data, A.cols, A.rows, Mp, valid))
+        return total
     if is_sparse(A):
         s_sq = _sigmoid_sq_sum(M, B, row_mask)
         e = jnp.sum(M[A.row_ids] * B[A.indices], axis=1)

@@ -144,13 +144,31 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                 row_sq = jnp.sum(Df * Df, axis=1)
         return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
 
+    from ..ops.chunked import ChunkedT
+
+    if isinstance(D, ChunkedT):
+        # Sigmoid term streamed over the forward chunks (V's X-side when
+        # X is chunked — solvers/newton_chunked.py). The chunk scan masks
+        # its own padding rows; a sharding column mask has no chunked
+        # carrier yet.
+        if mask is not None:
+            raise NotImplementedError(
+                "chunked sigmoid terms do not support column masks "
+                "(sharded padding); densify per shard instead")
+        from .newton_chunked import (ChunkedTSigCtx,
+                                     chunked_sigmoid_colwise_terms)
+
+        G, H_rows = chunked_sigmoid_colwise_terms(D.ck, M, B,
+                                                  hessian_form)
+        return G, None, H_rows, ChunkedTSigCtx(D.ck, B, distributed)
     if is_sparse(D) or is_chunked(D):
         # Unreachable through the estimator (sigmoid-linked inputs are
-        # densified at fit time); direct solver callers must densify too.
+        # densified or streamed at fit time); direct solver callers must
+        # densify or wrap a row-chunked layout in ChunkedT.
         raise NotImplementedError(
-            "Newton sigmoid-link terms need dense D (the update "
-            "materializes dense sigmoid predictions anyway); densify the "
-            "CSR/chunked matrix before building the Term")
+            "Newton sigmoid-link terms need dense D or a ChunkedT-"
+            "wrapped streaming layout (the update materializes sigmoid "
+            "predictions per row block either way)")
     P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
     R = P - D.astype(P.dtype)
     fp = P * (1.0 - P)
@@ -173,6 +191,12 @@ def _phi_term(Mc, ctx) -> jnp.ndarray:
     if isinstance(ctx, _LinearCtx):
         quad = jnp.sum(matmul(Mc, ctx.BtB) * Mc, axis=1)
         return 0.5 * (ctx.row_sq - 2.0 * jnp.sum(ctx.DB * Mc, axis=1) + quad)
+    from .newton_chunked import ChunkedTSigCtx
+
+    if isinstance(ctx, ChunkedTSigCtx):
+        from .newton_chunked import chunked_sigmoid_colwise_phi
+
+        return chunked_sigmoid_colwise_phi(ctx, Mc)
     R = ctx.D.astype(Mc.dtype) - jax.nn.sigmoid(matmul(Mc, ctx.B.T))
     if ctx.mask is not None:
         return 0.5 * jnp.sum(R * R * ctx.mask[None, :], axis=1)
@@ -239,9 +263,10 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
         term = term if isinstance(term, Term) else Term(*term)
         D, B, tiled, row_sq, db, btb = term
         if sample_ratio < 1.0:
+            from ..ops.chunked import ChunkedT as _CkT
             from ..ops.chunked import is_chunked as _is_ck
 
-            if is_sparse(D) or _is_ck(D):
+            if is_sparse(D) or _is_ck(D) or isinstance(D, _CkT):
                 # No silent full-batch fallback: the estimator densifies
                 # sigmoid terms and rejects sampled sparse linear terms at
                 # validation; direct solver callers get the same contract.
@@ -363,17 +388,27 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
 
         if cfg.update_U:
             chunked = _is_ck(X.A)
-            if chunked and not (cfg.x_link == LINEAR
-                                and cfg.sg_sample_ratio >= 1.0):
+            if chunked and cfg.sg_sample_ratio < 1.0:
                 raise NotImplementedError(
-                    "chunked-streaming X supports full-batch linear-link "
-                    "Newton only; use sparse_mode='csr'/'dense' or "
-                    "n_shards for sigmoid/sampled X")
+                    "chunked-streaming X supports full-batch Newton only "
+                    "(sg_sample_ratio=1.0 — sampling needs dense "
+                    "columns); use sparse_mode='csr'/'dense'")
+            sig_chunked = chunked and cfg.x_link != LINEAR
             # the accumulator-emitting streamed pass only pays off when
             # the V update consumes XᵀU_new/UᵀU; U-only fold-ins take the
             # generic Term path below (no accumulator pass)
-            chunked = chunked and cfg.update_V
-            if chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
+            chunked = chunked and not sig_chunked and cfg.update_V
+            if sig_chunked:
+                # row-local streamed sigmoid update: one scatter pass
+                # per iteration, line search in-chunk
+                from .newton_chunked import chunked_sigmoid_row_update
+
+                U = chunked_sigmoid_row_update(
+                    X.A, U, V, hyper, trials=cfg.line_search_trials,
+                    non_negative=cfg.U_non_negative,
+                    hessian_form=cfg.hessian_form,
+                    use_pallas=cfg.use_pallas)
+            elif chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
                 k = U.shape[1]
                 l1 = hyper.alpha * hyper.l1_ratio
                 l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
@@ -409,15 +444,25 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
             if _is_ck(X.A):
-                if numv_x is None:
-                    raise NotImplementedError(
-                        "chunked-streaming X needs the U pass to produce "
-                        "V's X-side terms (update_U=True); use "
-                        "sparse_mode='csr'/'dense' for V-only updates")
-                # D is a placeholder: with DB/BtB given the linear-link
-                # term never reads it (_accumulate_term)
-                terms = (Term(X.A, U, None, X.row_sq_t,
-                              DB=numv_x, BtB=gram_u),)
+                if cfg.x_link != LINEAR:
+                    # streamed sigmoid term: G/H accumulate over the
+                    # forward chunks, φ streams per candidate
+                    from ..ops.chunked import ChunkedT
+
+                    terms = (Term(ChunkedT(X.A), U),)
+                elif numv_x is not None:
+                    # D is a placeholder: with DB/BtB given the linear-
+                    # link term never reads it (_accumulate_term)
+                    terms = (Term(X.A, U, None, X.row_sq_t,
+                                  DB=numv_x, BtB=gram_u),)
+                else:
+                    # V-only update (frozen U): one streamed XᵀU pass —
+                    # the rows-sharded layout's chunked V-only contract
+                    from ..ops.chunked import chunked_spmm_t
+
+                    terms = (Term(X.A, U, None, X.row_sq_t,
+                                  DB=chunked_spmm_t(X.A, U),
+                                  BtB=gram(U)),)
             elif is_sparse(X.A):
                 terms = (Term(X.At, U, X.At_bell or X.At_tiled,
                               X.row_sq_t),)

@@ -338,3 +338,147 @@ class TestShardedChunked:
         ops2, _, _ = _prepare_rows(Xs, None, U0, 4, jnp.float64,
                                    use_pallas=False, chunked="never")
         assert not is_chunked(ops2.X)
+
+
+class TestChunkedSigmoidNewton:
+    """Streamed sigmoid-link Newton (solvers/newton_chunked.py): the
+    bigger-than-HBM binary-X path. Oracle = sparse_mode='dense' (same
+    math per row, chunk granularity)."""
+
+    def _problem(self, rng):
+        Xs = sp.csr_matrix((rng.rand(67, 53) < 0.25).astype(float))
+        Y = np.abs(rng.randn(53, 9))
+        U0 = rng.randn(67, 4)
+        V0 = rng.randn(53, 4)
+        Z0 = rng.randn(9, 4)
+        return Xs, Y, U0, V0, Z0
+
+    def _base(self, **kw):
+        base = dict(n_components=4, solver="newton", x_link="sigmoid",
+                    max_iter=4, tol=0.0, dtype="float64", random_state=0,
+                    U_non_negative=False, V_non_negative=False,
+                    Z_non_negative=False)
+        base.update(kw)
+        return base
+
+    # 'full' runs 2 iters: its near-indefinite solves amplify fp-
+    # association noise ~1000×/iter (measured: bit-identical at iter 1,
+    # 1e-8 by iter 4 — same loss to 1e-10 rel), so trajectory-exact
+    # comparison is only meaningful over few steps.
+    @pytest.mark.parametrize("hf,iters", [("gauss", 4), ("full", 2)])
+    def test_matches_dense_path(self, rng, hf, iters):
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(hessian_form=hf, max_iter=iters)
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        c = CMF(sparse_mode="chunked", **base).fit(Xs, Y, U=U0, V=V0,
+                                                   Z=Z0)
+        np.testing.assert_allclose(c.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(c.V_, d.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(c.loss_history_, d.loss_history_,
+                                   rtol=1e-9)
+
+    def test_nonneg_and_sigmoid_y(self, rng):
+        Xs, _, U0, V0, Z0 = self._problem(rng)
+        Yb = (rng.rand(53, 9) < 0.4).astype(float)
+        base = self._base(y_link="sigmoid", U_non_negative=True,
+                          V_non_negative=True)
+        d = CMF(sparse_mode="dense", **base).fit(
+            Xs, Yb, U=np.abs(U0), V=np.abs(V0), Z=Z0)
+        c = CMF(sparse_mode="chunked", **base).fit(
+            Xs, Yb, U=np.abs(U0), V=np.abs(V0), Z=Z0)
+        np.testing.assert_allclose(c.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(c.V_, d.V_, rtol=1e-9, atol=1e-11)
+        assert np.all(c.U_ >= 0) and np.all(c.V_ >= 0)
+
+    def test_transform_fold_in(self, rng):
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base()
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        c = CMF(sparse_mode="chunked", **base).fit(Xs, Y, U=U0, V=V0,
+                                                   Z=Z0)
+        Xn = sp.csr_matrix((np.random.RandomState(9).rand(21, 53)
+                            < 0.25).astype(float))
+        np.testing.assert_allclose(c.transform(Xn), d.transform(Xn),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_device_loop_matches_host(self, rng):
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(sparse_mode="chunked")
+        h = CMF(loop="host", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        v = CMF(loop="device", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(v.U_, h.U_, rtol=1e-12)
+        np.testing.assert_allclose(v.loss_history_, h.loss_history_,
+                                   rtol=1e-12)
+
+    def test_auto_streams_over_threshold(self, rng):
+        """sparse_mode='auto' + sigmoid keeps 'auto' at the policy layer
+        (previously force-'dense'), so past the densify threshold
+        as_coupled resolves it to the streamed layout instead of an
+        OOM-bound dense copy."""
+        from pycmf_tpu.utils.validation import as_coupled
+
+        Xs, _, _, _, _ = self._problem(rng)
+        m = CMF(**self._base(sparse_mode="auto"))
+        assert m._matrix_sparse_mode(Xs, "sigmoid") == "auto"
+        assert m._chunked_ok()
+        Xc = as_coupled(Xs, jnp.float64, sparse_mode="auto",
+                        chunked_ok=True, densify_threshold=64)
+        assert is_chunked(Xc.A)
+
+    def test_sampled_raises(self, rng):
+        Xs, Y, _, _, _ = self._problem(rng)
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(**self._base(sparse_mode="chunked",
+                             sg_sample_ratio=0.5)).fit(Xs, Y)
+
+    def test_sharded_raises(self, rng):
+        Xs, Y, _, _, _ = self._problem(rng)
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(**self._base(sparse_mode="chunked", n_shards=8)).fit(
+                Xs, Y)
+
+    def test_trials_zero_matches_dense(self, rng):
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(line_search_trials=0, max_iter=2)
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        c = CMF(sparse_mode="chunked", **base).fit(Xs, Y, U=U0, V=V0,
+                                                   Z=Z0)
+        np.testing.assert_allclose(c.U_, d.U_, rtol=1e-9, atol=1e-11)
+
+
+class TestChunkedLinearVOnly:
+    """V-only (frozen-U) updates on chunked X previously raised; they now
+    take one streamed XᵀU pass (DB/BtB Term — the sharded layout's
+    existing contract)."""
+
+    def test_v_only_matches_dense(self, rng):
+        import jax
+
+        from pycmf_tpu.ops.links import LINEAR
+        from pycmf_tpu.solvers.common import make_hyper
+        from pycmf_tpu.solvers.newton import run_newton
+        from pycmf_tpu.utils.validation import as_coupled
+
+        Xs = sp.csr_matrix(np.abs(rng.randn(67, 53))
+                           * (rng.rand(67, 53) > 0.8))
+        U0 = jnp.asarray(rng.randn(67, 4))
+        V0 = jnp.asarray(rng.randn(53, 4))
+        Z0 = jnp.zeros((0, 4), jnp.float64)
+        from pycmf_tpu.solvers.common import SolverConfig
+
+        cfg = SolverConfig(has_Y=False, update_U=False, update_V=True,
+                           update_Z=False, x_link=LINEAR, y_link=LINEAR,
+                           U_non_negative=False, V_non_negative=False,
+                           Z_non_negative=False)
+        hyper = make_hyper(0.0, 0.5, 1e-9, 0.2, dtype=jnp.float64)
+        rng_j = jax.random.PRNGKey(0)
+        outs = {}
+        for mode in ("dense", "chunked"):
+            Xc = as_coupled(Xs, jnp.float64, sparse_mode=mode,
+                            chunked_ok=True)
+            V, *_ = [np.asarray(a) for a in run_newton(
+                Xc, None, U0, V0, Z0, cfg, hyper, max_iter=3, tol=0.0,
+                eval_every=1, rng=rng_j)[1:2]]
+            outs[mode] = V
+        np.testing.assert_allclose(outs["chunked"], outs["dense"],
+                                   rtol=1e-9, atol=1e-11)
