@@ -276,8 +276,13 @@ class CMF(BaseEstimator, TransformerMixin):
                     and is_x and self._chunked_ok():
                 # streamed sigmoid Newton (solvers/newton_chunked.py):
                 # per-chunk predictions, X's dense form never exists —
-                # 'auto' falls back to it past the densify threshold
-                return self.sparse_mode
+                # single-chip 'auto' falls back to it past the densify
+                # threshold; sharded (rows) needs the explicit opt-in
+                # (the runner's 'auto' would hand CSR shards to terms
+                # that require dense or chunked D)
+                ns = self._resolve_n_shards()
+                if ns is None or ns <= 1 or self.sparse_mode == "chunked":
+                    return self.sparse_mode
             if self.sparse_mode == "csr":
                 import warnings
 
@@ -304,7 +309,9 @@ class CMF(BaseEstimator, TransformerMixin):
         if self.x_link == "linear":
             return True
         ns = self._resolve_n_shards()
-        return ns is None or ns <= 1
+        if ns is None or ns <= 1:
+            return True
+        return self.shard_layout == "rows"
 
     def _stays_sparse(self, A) -> bool:
         """Will this host matrix remain CSR/chunked on device (i.e. NOT a
@@ -350,9 +357,8 @@ class CMF(BaseEstimator, TransformerMixin):
                 raise ValueError(
                     "sparse_mode='chunked' supports Newton only with "
                     "sg_sample_ratio=1.0 (sampling needs dense columns), "
-                    "and a sigmoid x_link only single-chip (streamed "
-                    "predictions have no sharded carrier yet); use "
-                    "sparse_mode='csr'/'dense'")
+                    "and a sigmoid x_link only single-chip or in the "
+                    "rows layout; use sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
                     and self.shard_layout not in ("rows", "grid"):
@@ -386,7 +392,8 @@ class CMF(BaseEstimator, TransformerMixin):
             # keeps X CSR in the rows layout; densify on the host there.
             ns = self._resolve_n_shards()
             sharded = ns is not None and ns > 1
-            if sharded and sp.issparse(X) and self.x_link == "sigmoid":
+            if sharded and sp.issparse(X) and self.x_link == "sigmoid" \
+                    and self.sparse_mode != "chunked":
                 X = np.asarray(X.todense())
             if sharded and Y is not None and sp.issparse(Y) \
                     and self.y_link == "sigmoid":

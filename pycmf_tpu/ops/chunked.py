@@ -202,6 +202,21 @@ def _pad_rows(M: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return M if n == n_pad else jnp.pad(M, ((0, n_pad - n), (0, 0)))
 
 
+def valid_rows(X: ChunkedCoo, dtype, row_mask=None) -> jnp.ndarray:
+    """(C, R) 1.0 on true rows (the last chunk's tail rows are padding;
+    consumers whose per-row results are not exactly zero there — e.g.
+    σ(0) = 0.5 — must mask them out of updates and sums).
+
+    row_mask: optional (n,) shard mask (the sharded layouts' zero-padding
+    rows sit BELOW this layout's n) — combined multiplicatively."""
+    n = X.shape[0]
+    valid = (jnp.arange(X.n_pad) < n).astype(dtype)
+    if row_mask is not None:
+        valid = valid * _pad_rows(
+            row_mask[:, None].astype(dtype), X.n_pad)[:, 0]
+    return valid.reshape(X.n_chunks, X.chunk_rows)
+
+
 def _densify_chunk(X: ChunkedCoo, dv, cv, rv) -> jnp.ndarray:
     """Scatter one chunk's nonzeros into a zeroed (R, m) buffer.
 

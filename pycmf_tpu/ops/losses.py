@@ -177,18 +177,15 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
     if is_chunked(A):
         # streamed chunked-COO A: one scatter+residual pass per chunk,
-        # chunk padding rows masked (their σ(0) = 0.5 is not data)
+        # chunk padding rows masked (their σ(0) = 0.5 is not data); an
+        # optional sharded row_mask folds into the same per-chunk mask
         from .chunked import _densify_chunk, _pad_rows
 
-        if row_mask is not None:
-            raise NotImplementedError(
-                "chunked sigmoid residuals have no sharded row_mask "
-                "carrier (single-chip layout)")
-        n = A.shape[0]
+        from .chunked import valid_rows
+
         k = M.shape[1]
         Mp = _pad_rows(M, A.n_pad).reshape(A.n_chunks, A.chunk_rows, k)
-        valid = (jnp.arange(A.n_pad) < n).astype(M.dtype).reshape(
-            A.n_chunks, A.chunk_rows)
+        valid = valid_rows(A, M.dtype, row_mask)
 
         def body(carry, inp):
             dv, cv, rv, mb, vc = inp

@@ -461,9 +461,16 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
         part = jax.lax.psum(a_sq - 2.0 * inner, AXIS)
         x_term = 0.5 * (part + jnp.sum(gU * gram(V)))
     else:
-        R = ops.X - jax.nn.sigmoid(matmul(U, V.T))
-        x_term = 0.5 * jax.lax.psum(
-            jnp.sum(mask[:, None] * R * R), AXIS)
+        if is_chunked(ops.X):
+            # streamed per-chunk residual; the shard's padding rows fold
+            # into the chunk scan's mask (ops/losses.py)
+            x_term = jax.lax.psum(reconstruction_term(
+                local_chunked(ops.X), U, V, cfg.x_link,
+                row_mask=mask), AXIS)
+        else:
+            R = ops.X - jax.nn.sigmoid(matmul(U, V.T))
+            x_term = 0.5 * jax.lax.psum(
+                jnp.sum(mask[:, None] * R * R), AXIS)
 
     loss = x_term + jax.lax.psum(penalty(U, hyper.alpha, hyper.l1_ratio),
                                  AXIS)
@@ -785,8 +792,9 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
         elif ops.Xt_tiled is not None:
             Xt_tl = _local_tiled(ops.Xt_tiled)
 
-    chunk_ok = (chunk and cfg.x_link == LINEAR
-                and cfg.sg_sample_ratio >= 1.0)
+    chunk_full = chunk and cfg.sg_sample_ratio >= 1.0
+    chunk_ok = chunk_full and cfg.x_link == LINEAR
+    chunk_sig = chunk_full and cfg.x_link != LINEAR
     # the accumulator-emitting streamed pass only pays off when the V
     # update consumes XᵀU_new/UᵀU; U-only fold-ins take the generic
     # Term path (one streamed DB pass, no accumulators)
@@ -794,7 +802,23 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
     fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
     numv_x = gram_u = None
     if cfg.update_U:
-        if chunk_pass:
+        if chunk and not chunk_full:
+            raise NotImplementedError(
+                "chunked-streaming sharded X supports full-batch Newton "
+                "only (sampling needs dense columns); use "
+                "sparse_mode='csr'/'dense'")
+        if chunk_sig:
+            # row-local streamed sigmoid update per shard (one scatter
+            # pass, line search in-chunk); the shard's zero-padding rows
+            # fold into the chunk scan's own row mask
+            from ..solvers.newton_chunked import chunked_sigmoid_row_update
+
+            U = chunked_sigmoid_row_update(
+                Xl, U, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative,
+                hessian_form=cfg.hessian_form,
+                use_pallas=cfg.use_pallas, row_mask=mask)
+        elif chunk_pass:
             # Streamed per-shard single-X-pass (ops/chunked.py): same
             # accumulator contract as the fused kernel branch below.
             from ..ops.chunked import chunked_newton_linear_u_pass
@@ -811,11 +835,6 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
                 trials=cfg.line_search_trials,
                 non_negative=cfg.U_non_negative)
-        elif chunk and not chunk_ok:
-            raise NotImplementedError(
-                "chunked-streaming sharded X supports full-batch "
-                "linear-link Newton only; use sparse_mode='csr' for "
-                "sigmoid/sampled X")
         elif fused:
             # Single local X pass: Newton row updates are row-local, and the
             # kernel's XᵀU_new / U_newᵀU_new accumulators are exactly the
@@ -862,6 +881,14 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             terms = (Term(Xtl, U, None, ops.row_sq_t_glob,
                           DB=num_glob, BtB=gram_glob),)
             dist = (False,)
+        elif chunk_sig:
+            # streamed sigmoid X-term: per-shard (G, H_rows, φ) partials
+            # accumulate over the forward chunks and psum (the shard's
+            # padding rows ride the term's column mask below)
+            from ..ops.chunked import ChunkedT
+
+            terms = (Term(ChunkedT(Xl), U),)
+            dist = (True,)
         elif chunk:
             # V-only update (e.g. frozen-U fits) on chunked X: the local
             # Xᵀ U and UᵀU partials feed the distributed machinery

@@ -148,19 +148,16 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
 
     if isinstance(D, ChunkedT):
         # Sigmoid term streamed over the forward chunks (V's X-side when
-        # X is chunked — solvers/newton_chunked.py). The chunk scan masks
-        # its own padding rows; a sharding column mask has no chunked
-        # carrier yet.
-        if mask is not None:
-            raise NotImplementedError(
-                "chunked sigmoid terms do not support column masks "
-                "(sharded padding); densify per shard instead")
+        # X is chunked — solvers/newton_chunked.py). A sharding column
+        # mask folds into the chunk scan's own padding-row mask.
         from .newton_chunked import (ChunkedTSigCtx,
                                      chunked_sigmoid_colwise_terms)
 
         G, H_rows = chunked_sigmoid_colwise_terms(D.ck, M, B,
-                                                  hessian_form)
-        return G, None, H_rows, ChunkedTSigCtx(D.ck, B, distributed)
+                                                  hessian_form,
+                                                  col_mask=mask)
+        return G, None, H_rows, ChunkedTSigCtx(D.ck, B, distributed,
+                                               mask)
     if is_sparse(D) or is_chunked(D):
         # Unreachable through the estimator (sigmoid-linked inputs are
         # densified or streamed at fit time); direct solver callers must

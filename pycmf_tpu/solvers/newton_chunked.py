@@ -35,16 +35,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.chunked import ChunkedCoo, _densify_chunk, _pad_rows
+from ..ops.chunked import (ChunkedCoo, _densify_chunk, _pad_rows,
+                           valid_rows as _valid_rows)
 from ..ops.matmul import matmul
-
-
-def _valid_rows(X: ChunkedCoo, dtype) -> jnp.ndarray:
-    """(C, R) 1.0 on true rows (the last chunk's tail rows are padding —
-    their σ(0) = 0.5 predictions must not leak into updates or sums)."""
-    n = X.shape[0]
-    return (jnp.arange(X.n_pad) < n).astype(dtype).reshape(
-        X.n_chunks, X.chunk_rows)
 
 
 def _sigmoid_parts(Xc, Mc, B, hessian_form: str):
@@ -61,7 +54,8 @@ def _sigmoid_parts(Xc, Mc, B, hessian_form: str):
 
 def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
                                trials: int, non_negative: bool,
-                               hessian_form: str, use_pallas: bool):
+                               hessian_form: str, use_pallas: bool,
+                               row_mask=None):
     """Row-local streamed Newton update of M (n, k) against X ≈ σ(M Bᵀ).
 
     One lax.scan over the chunks; each body densifies its chunk once and
@@ -80,7 +74,7 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
     eye = jnp.eye(k, dtype=dtype)
     H_shared = (l2 + hyper.hessian_pertubation) * eye
     Mp = _pad_rows(M, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
-    vp = _valid_rows(X, dtype)
+    vp = _valid_rows(X, dtype, row_mask)
     spd = hessian_form == "gauss"
     steps = (0.5 ** jnp.arange(trials, dtype=dtype)) if trials > 0 else None
 
@@ -131,20 +125,23 @@ class ChunkedTSigCtx(NamedTuple):
     ck: ChunkedCoo
     B: jnp.ndarray        # (n, k) — the row-side factor, chunked with X
     distributed: bool
+    col_mask: object = None   # optional (n,) shard mask on the q axis
 
 
 def chunked_sigmoid_colwise_terms(X: ChunkedCoo, M, B,
-                                  hessian_form: str):
+                                  hessian_form: str, col_mask=None):
     """(G (m, k), H_rows (m, k, k)) of M (m, k) for the term
     Xᵀ ≈ σ(M Bᵀ), accumulated over X's row chunks (X's rows are the
     term's q/columns; B = the row-side factor, chunked alongside X).
 
     Padding rows are masked out of both accumulators — σ(0) = 0.5 on a
-    padding row would otherwise bias every column's gradient."""
+    padding row would otherwise bias every column's gradient. col_mask:
+    the sharded layouts' (n,) zero-padding mask on the q axis, folded
+    into the same per-chunk row mask."""
     m = X.shape[1]
     k = M.shape[1]
     Bp = _pad_rows(B, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
-    vp = _valid_rows(X, M.dtype)
+    vp = _valid_rows(X, M.dtype, col_mask)
 
     def body(carry, inp):
         G, H = carry
@@ -172,7 +169,7 @@ def chunked_sigmoid_colwise_phi(ctx: ChunkedTSigCtx, Mc) -> jnp.ndarray:
     X = ctx.ck
     k = Mc.shape[1]
     Bp = _pad_rows(ctx.B, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
-    vp = _valid_rows(X, Mc.dtype)
+    vp = _valid_rows(X, Mc.dtype, ctx.col_mask)
 
     def body(acc, inp):
         dv, cv, rv, bc, vc = inp

@@ -431,11 +431,13 @@ class TestChunkedSigmoidNewton:
             CMF(**self._base(sparse_mode="chunked",
                              sg_sample_ratio=0.5)).fit(Xs, Y)
 
-    def test_sharded_raises(self, rng):
+    def test_sharded_cols_raises(self, rng):
+        """Chunked sigmoid shards in the rows layout only (per-shard
+        row-local chunks); cols would chunk the wrong axis."""
         Xs, Y, _, _, _ = self._problem(rng)
         with pytest.raises(ValueError, match="chunked"):
-            CMF(**self._base(sparse_mode="chunked", n_shards=8)).fit(
-                Xs, Y)
+            CMF(**self._base(sparse_mode="chunked", n_shards=8,
+                             shard_layout="cols")).fit(Xs, Y)
 
     def test_trials_zero_matches_dense(self, rng):
         Xs, Y, U0, V0, Z0 = self._problem(rng)
@@ -482,3 +484,60 @@ class TestChunkedLinearVOnly:
             outs[mode] = V
         np.testing.assert_allclose(outs["chunked"], outs["dense"],
                                    rtol=1e-9, atol=1e-11)
+
+
+class TestShardedChunkedSigmoid:
+    """Rows-sharded streamed sigmoid Newton: per-shard row-local U
+    updates, psummed (G, H_rows, φ) V partials with the shard padding
+    mask folded into the chunk scans."""
+
+    def _problem(self, rng):
+        Xs = sp.csr_matrix((rng.rand(67, 53) < 0.25).astype(float))
+        Y = np.abs(rng.randn(53, 9))
+        return (Xs, Y, rng.randn(67, 4), rng.randn(53, 4),
+                rng.randn(9, 4))
+
+    def _base(self, **kw):
+        base = dict(n_components=4, solver="newton", x_link="sigmoid",
+                    max_iter=4, tol=0.0, dtype="float64", random_state=0,
+                    U_non_negative=False, V_non_negative=False,
+                    Z_non_negative=False)
+        base.update(kw)
+        return base
+
+    def test_matches_single_device_dense(self, rng):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base()
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(sparse_mode="chunked", n_shards=8, **base).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(s.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.V_, d.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.loss_history_, d.loss_history_,
+                                   rtol=1e-9)
+
+    def test_device_loop_and_transform(self, rng):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(sparse_mode="chunked", n_shards=8)
+        h = CMF(loop="host", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        v = CMF(loop="device", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(v.U_, h.U_, rtol=1e-12)
+        d = CMF(**self._base(sparse_mode="dense")).fit(
+            Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(h.transform(Xs[:20]),
+                                   d.transform(Xs[:20]),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_grid_still_raises(self, rng):
+        Xs, Y, _, _, _ = self._problem(rng)
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(**self._base(sparse_mode="chunked", n_shards=(2, 4),
+                             shard_layout="grid")).fit(Xs, Y)
