@@ -77,8 +77,9 @@ class CMF(BaseEstimator, TransformerMixin):
 
     TPU-build extensions
     --------------------
-    dtype : 'float32' (default) | 'float64' (needs jax_enable_x64) | 'bfloat16'
-        — compute/factor dtype.
+    dtype : 'float32' (default) | 'float64' (needs jax_enable_x64)
+        — compute/factor dtype (low-precision storage belongs in
+        data_dtype; factor updates need f32).
     data_dtype : storage dtype for X/Y on device (None = dtype).
         'bfloat16' halves the HBM traffic of the bandwidth-bound data
         passes while factors and accumulation stay float32
@@ -234,6 +235,12 @@ class CMF(BaseEstimator, TransformerMixin):
             raise ValueError(
                 "dtype='float64' requires jax_enable_x64; call "
                 "jax.config.update('jax_enable_x64', True) first")
+        if which is None and dt == jnp.bfloat16:
+            raise ValueError(
+                "dtype='bfloat16' is not a factor/compute dtype (factor "
+                "updates need f32 precision and the solver loops carry "
+                "f32 factors); use data_dtype='bfloat16' to halve the "
+                "data-pass HBM traffic instead")
         if which is None and dt in _FP8:
             raise ValueError(
                 "fp8 is a data storage dtype, not a factor/compute dtype; "
@@ -319,10 +326,6 @@ class CMF(BaseEstimator, TransformerMixin):
         storage-byte threshold."""
         if not sp.issparse(A):
             return False
-        ns = self._resolve_n_shards()
-        if ns is not None and ns > 1 and self.shard_layout != "grid":
-            # the 1-D layouts keep sparse inputs CSR/chunked per shard
-            return True
         if self.sparse_mode == "dense":
             return False
         if self.sparse_mode in ("csr", "chunked"):
@@ -332,11 +335,18 @@ class CMF(BaseEstimator, TransformerMixin):
         ddt = self._resolve_data_dtype()
         item = 4 if ddt in _FP8 else jnp.dtype(ddt).itemsize
         n, m = A.shape
+        ns = self._resolve_n_shards()
         if ns is not None and ns > 1:
-            # grid 'auto': each CELL densifies independently against the
-            # threshold (run_grid); over-threshold cells stay sparse
-            r, c = self._resolve_grid()
-            n, m = -(-n // r), -(-m // c)
+            # 'auto' under sharding: every layout densifies its LOCAL
+            # shard/cell independently against the threshold (run_sharded
+            # / run_grid); over-threshold locals stay sparse
+            if self.shard_layout == "grid":
+                r, c = self._resolve_grid()
+                n, m = -(-n // r), -(-m // c)
+            elif self.shard_layout == "cols":
+                m = -(-m // ns)
+            else:
+                n = -(-n // ns)
         return n * m * item > DENSIFY_THRESHOLD
 
     def _validate(self, X, Y):
@@ -387,14 +397,13 @@ class CMF(BaseEstimator, TransformerMixin):
                     "use sparse_mode='dense' (or 'auto' below the densify "
                     "threshold)")
         if self.solver == "newton":
-            # Sigmoid-linked sparse inputs are densified (see
-            # _matrix_sparse_mode) — except under the sharded runner, which
-            # keeps X CSR in the rows layout; densify on the host there.
+            # Sigmoid-linked sparse X resolves per-matrix (see
+            # _matrix_sparse_mode); the sharded runners own the 'dense'
+            # host-densify. Y has no chunked carrier: a sigmoid-linked
+            # sparse Y densifies here before sharding (its CSR blocks
+            # would reach sigmoid terms that need dense data).
             ns = self._resolve_n_shards()
             sharded = ns is not None and ns > 1
-            if sharded and sp.issparse(X) and self.x_link == "sigmoid" \
-                    and self.sparse_mode != "chunked":
-                X = np.asarray(X.todense())
             if sharded and Y is not None and sp.issparse(Y) \
                     and self.y_link == "sigmoid":
                 Y = np.asarray(Y.todense())
@@ -477,7 +486,12 @@ class CMF(BaseEstimator, TransformerMixin):
                 n_shards=n_shards, layout=self.shard_layout, dtype=dt,
                 max_iter=self.max_iter, tol=self.tol,
                 eval_every=self.eval_every, verbose=self.verbose,
-                loop=self._resolve_loop(), sparse_mode=self.sparse_mode,
+                # per-matrix resolution, same as transform and the grid
+                # path: a sigmoid x_link resolves sparse X to 'dense'
+                # (run_sharded host-densifies it) unless the streamed
+                # chunked layout is explicitly requested
+                loop=self._resolve_loop(),
+                sparse_mode=self._matrix_sparse_mode(X, self.x_link),
                 data_dtype=None if ddt == dt else ddt)
         else:
             up = self._resolve_use_pallas()

@@ -356,7 +356,7 @@ def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
     rs = jnp.pad(row_sq, (0, X.n_pad - n)) if row_sq.shape[0] != X.n_pad \
         else row_sq
     rs = rs.reshape(X.n_chunks, X.chunk_rows)
-    steps = 0.5 ** jnp.arange(trials, dtype=U.dtype) if trials > 0 else None
+    from .linesearch import backtracking_select
 
     def project(Mc):
         return jnp.maximum(Mc, 0.0) if non_negative else Mc
@@ -368,28 +368,14 @@ def chunked_newton_linear_u_pass(X: ChunkedCoo, U, V, BtB, Hinv, row_sq,
         DB = matmul(Xc, V)
         G = matmul(uc, BtB) - DB + l1 * jnp.sign(uc) + l2 * uc
         d = matmul(G, Hinv)          # Hinv symmetric: (H⁻¹ Gᵀ)ᵀ = G H⁻¹
-        if trials <= 0:
-            u_new = project(uc - d)
-        else:
-            def phi(Mc):
-                quad = jnp.sum(matmul(Mc, BtB) * Mc, axis=1)
-                res = 0.5 * (rsc - 2.0 * jnp.sum(DB * Mc, axis=1) + quad)
-                return res + l1 * jnp.sum(jnp.abs(Mc), axis=1) \
-                    + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
 
-            phi0 = phi(uc)
+        def phi(Mc):
+            quad = jnp.sum(matmul(Mc, BtB) * Mc, axis=1)
+            res = 0.5 * (rsc - 2.0 * jnp.sum(DB * Mc, axis=1) + quad)
+            return res + l1 * jnp.sum(jnp.abs(Mc), axis=1) \
+                + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
 
-            def trial(_, s):
-                Mc = project(uc - s * d)
-                return None, (Mc, phi(Mc))
-
-            _, (cands, phis) = jax.lax.scan(trial, None, steps)
-            accepted = phis < phi0[None, :]
-            first = jnp.argmax(accepted, axis=0)
-            any_acc = jnp.any(accepted, axis=0)
-            chosen = jnp.take_along_axis(
-                cands, first[None, :, None], axis=0)[0]
-            u_new = jnp.where(any_acc[:, None], chosen, uc)
+        u_new = backtracking_select(phi, project, uc, d, trials)
         numV = numV + matmul(Xc.T, u_new)
         gramU = gramU + matmul(u_new.T, u_new)
         return (numV, gramU), u_new

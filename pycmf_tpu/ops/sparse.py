@@ -72,10 +72,15 @@ class CsrMatrix:
         return self.data.dtype
 
     def astype(self, dtype) -> "CsrMatrix":
-        data = self.data.astype(dtype)
+        """sq_norm is CAST, never re-accumulated at the target dtype: it
+        is a whole-objective constant, and a half-precision sum would
+        bias the factored loss (same policy as csr_from_scipy, which
+        keeps it f32 under bf16 data)."""
+        sq_dt = (jnp.float32 if jnp.dtype(dtype).itemsize < 4
+                 else jnp.dtype(dtype))
         return CsrMatrix(
-            data, self.indices, self.indptr, self.row_ids,
-            jnp.sum(data * data), self.shape,
+            self.data.astype(dtype), self.indices, self.indptr,
+            self.row_ids, self.sq_norm.astype(sq_dt), self.shape,
         )
 
 

@@ -822,15 +822,9 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             # Streamed per-shard single-X-pass (ops/chunked.py): same
             # accumulator contract as the fused kernel branch below.
             from ..ops.chunked import chunked_newton_linear_u_pass
+            from ..solvers.newton import shared_gauss_hinv
 
-            k = U.shape[1]
-            l1 = hyper.alpha * hyper.l1_ratio
-            l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
-            BtB = gram(V)
-            eye = jnp.eye(k, dtype=U.dtype)
-            H = BtB + (l2 + hyper.hessian_pertubation) * eye
-            c, low = jax.scipy.linalg.cho_factor(H)
-            Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+            BtB, Hinv, l1, l2 = shared_gauss_hinv(V, hyper)
             U, numv_x, gram_u = chunked_newton_linear_u_pass(
                 Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
                 trials=cfg.line_search_trials,
@@ -840,15 +834,9 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             # kernel's XᵀU_new / U_newᵀU_new accumulators are exactly the
             # shared-V contributions this layout psums below.
             from ..ops.pallas.newton_fused import fused_newton_linear_u_pass
+            from ..solvers.newton import shared_gauss_hinv
 
-            k = U.shape[1]
-            l1 = hyper.alpha * hyper.l1_ratio
-            l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
-            BtB = gram(V)
-            eye = jnp.eye(k, dtype=U.dtype)
-            H = BtB + (l2 + hyper.hessian_pertubation) * eye
-            c, low = jax.scipy.linalg.cho_factor(H)
-            Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+            BtB, Hinv, l1, l2 = shared_gauss_hinv(V, hyper)
             U, numv_x, gram_u = fused_newton_linear_u_pass(
                 Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
                 trials=cfg.line_search_trials,

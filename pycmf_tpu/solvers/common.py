@@ -168,7 +168,13 @@ def device_fit_core(step_fn, loss_core, *, carry_rng: bool,
         n_full = max_iter // eval_every
         rem = max_iter - n_full * eval_every
         n_slots = n_full + (2 if rem else 1)
-        dtype = U.dtype
+        # History slots at ≥f32 regardless of the factor dtype: a half-
+        # precision buffer (possible only for direct solver callers —
+        # the estimator rejects sub-f32 factor dtypes) would quantize
+        # every recorded loss to ~3 significant digits while the host
+        # loop reports f32 (the stop-rule carry is already f32).
+        dtype = (jnp.float32 if jnp.dtype(U.dtype).itemsize < 4
+                 else U.dtype)
         L0 = loss_core((X, Y, U, V, Z), hyper)
         hist0 = jnp.full((n_slots,), jnp.nan, dtype).at[0].set(L0)
         aux0 = aux_init(U, V, Z) if with_aux else ()

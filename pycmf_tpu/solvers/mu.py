@@ -74,41 +74,23 @@ def make_mu_step(cfg: SolverConfig, with_aux: bool = False):
         from ..ops.pallas.policy import kernel_enabled
         from ..ops.sparse import is_sparse as _is_sp
 
-        if _is_ck(X.A) and cfg.update_U and cfg.update_V:
-            # Streaming chunked-COO X (beyond-densify-threshold sparse,
-            # ops/chunked.py): ONE scatter+MXU pass per iteration updates U
-            # and accumulates V's X-side terms — the same single-X-pass
-            # contract as the fused Pallas branch below, in pure XLA.
-            from ..ops.chunked import chunked_mu_u_pass
-
-            VtV = gram(V)
-            U, num_vx, gram_u = chunked_mu_u_pass(X.A, U, V, VtV,
-                                                  l1, l2, eps)
-            if cfg.has_Y and cfg.update_Z:
-                num = coupled_mm(Y, V, transpose=True, use_pallas=up)
-                Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
-            num_v = num_vx
-            S = gram_u
-            if cfg.has_Y:
-                num_v = num_v + coupled_mm(Y, Z, use_pallas=up)
-                S = S + gram(Z)
-            V = mu_ratio_update(V, S, num_v, l1, l2, eps, up)
-            if with_aux:
-                return U, V, Z, (num_vx, gram_u)
-            return U, V, Z
-
-        fused = (up and cfg.update_U and cfg.update_V
+        chunked = _is_ck(X.A) and cfg.update_U and cfg.update_V
+        fused = (not chunked and up and cfg.update_U and cfg.update_V
                  and not _is_sp(X.A) and not _is_ck(X.A)
                  and U.dtype != jnp.bfloat16
                  and kernel_enabled("fused_mu_u_pass"))
-        if fused:
-            # Single-X-pass iteration (see ops/pallas/mu_fused.py): the
-            # kernel returns U_new plus the X-side of V's numerator and
-            # Gram — mathematically identical to the U → Z → V order.
+        if chunked or fused:
+            # Single-X-pass iteration: the U pass returns U_new plus the
+            # X-side of V's numerator and Gram — mathematically identical
+            # to the U → Z → V order. Two layouts, one contract:
+            # streaming chunked-COO scatter+MXU scan (ops/chunked.py) or
+            # the fused Pallas kernel (ops/pallas/mu_fused.py).
+            if chunked:
+                from ..ops.chunked import chunked_mu_u_pass as u_pass
+            else:
+                from ..ops.pallas.mu_fused import fused_mu_u_pass as u_pass
             VtV = gram(V)
-            from ..ops.pallas.mu_fused import fused_mu_u_pass
-
-            U, num_vx, gram_u = fused_mu_u_pass(X.A, U, V, VtV, l1, l2, eps)
+            U, num_vx, gram_u = u_pass(X.A, U, V, VtV, l1, l2, eps)
             if cfg.has_Y and cfg.update_Z:
                 num = coupled_mm(Y, V, transpose=True, use_pallas=up)
                 Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)

@@ -314,9 +314,6 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     def project(Mc):
         return jnp.maximum(Mc, 0.0) if non_negative else Mc
 
-    if trials <= 0:
-        return project(M - d)
-
     def phi(Mc):
         out = l1 * jnp.sum(jnp.abs(Mc), axis=1) \
             + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
@@ -331,21 +328,9 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
             acc_dist = jax.lax.psum(acc_dist, axis_name)
         return out + acc_dist
 
-    phi0 = phi(M)
-    steps = (0.5 ** jnp.arange(trials, dtype=dtype))
+    from ..ops.linesearch import backtracking_select
 
-    def trial(_, s):
-        Mc = project(M - s * d)
-        return None, (Mc, phi(Mc))
-
-    # scan keeps the trace size independent of the trial count (the line
-    # search dominates the Newton step's compile cost otherwise)
-    _, (cands, phis) = jax.lax.scan(trial, None, steps)
-    accepted = phis < phi0[None, :]
-    first = jnp.argmax(accepted, axis=0)     # first (largest) accepted step
-    any_acc = jnp.any(accepted, axis=0)
-    chosen = jnp.take_along_axis(cands, first[None, :, None], axis=0)[0]
-    return jnp.where(any_acc[:, None], chosen, M)
+    return backtracking_select(phi, project, M, d, trials)
 
 
 def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
@@ -363,6 +348,24 @@ def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
     from ..ops.pallas.policy import kernel_enabled
 
     return kernel_enabled("fused_newton_u_pass")
+
+
+def shared_gauss_hinv(V, hyper: Hyper):
+    """(BtB, Hinv, l1, l2) for the shared linear-link Gauss-Newton
+    system H = VᵀV + (l2 + hessian_pertubation)·I.
+
+    The damping formula is parity-critical and feeds the same u_pass
+    contract from the single-chip fused/chunked branches AND the sharded
+    rows layout — built in exactly one place so the trajectories cannot
+    desynchronize."""
+    k = V.shape[1]
+    l1 = hyper.alpha * hyper.l1_ratio
+    l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+    BtB = gram(V)
+    eye = jnp.eye(k, dtype=V.dtype)
+    H = BtB + (l2 + hyper.hessian_pertubation) * eye
+    c, low = jax.scipy.linalg.cho_factor(H)
+    return BtB, jax.scipy.linalg.cho_solve((c, low), eye), l1, l2
 
 
 @lru_cache(maxsize=None)
@@ -406,14 +409,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     hessian_form=cfg.hessian_form,
                     use_pallas=cfg.use_pallas)
             elif chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
-                k = U.shape[1]
-                l1 = hyper.alpha * hyper.l1_ratio
-                l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
-                BtB = gram(V)
-                eye = jnp.eye(k, dtype=U.dtype)
-                H = BtB + (l2 + hyper.hessian_pertubation) * eye
-                c, low = jax.scipy.linalg.cho_factor(H)
-                Hinv = jax.scipy.linalg.cho_solve((c, low), eye)
+                BtB, Hinv, l1, l2 = shared_gauss_hinv(V, hyper)
                 if chunked:
                     # streamed scatter+MXU pass (ops/chunked.py): same
                     # math, same accumulator contract as the fused kernel

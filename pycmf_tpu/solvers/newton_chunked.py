@@ -76,7 +76,7 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
     Mp = _pad_rows(M, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
     vp = _valid_rows(X, dtype, row_mask)
     spd = hessian_form == "gauss"
-    steps = (0.5 ** jnp.arange(trials, dtype=dtype)) if trials > 0 else None
+    from ..ops.linesearch import backtracking_select
 
     def project(Mc):
         return jnp.maximum(Mc, 0.0) if non_negative else Mc
@@ -89,29 +89,14 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
         H_rows = jnp.einsum("pq,qk,ql->pkl", W, B, B,
                             precision=jax.lax.Precision.HIGHEST)
         d = _solve_direction(H_shared, H_rows, G, use_pallas, spd=spd)
-        if trials <= 0:
-            m_new = project(mc - d)
-        else:
-            def phi(Mc):
-                r = Xc.astype(Mc.dtype) - jax.nn.sigmoid(
-                    matmul(Mc, B.T))
-                return (l1 * jnp.sum(jnp.abs(Mc), axis=1)
-                        + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
-                        + 0.5 * jnp.sum(r * r, axis=1))
 
-            phi0 = phi(mc)
+        def phi(Mc):
+            r = Xc.astype(Mc.dtype) - jax.nn.sigmoid(matmul(Mc, B.T))
+            return (l1 * jnp.sum(jnp.abs(Mc), axis=1)
+                    + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
+                    + 0.5 * jnp.sum(r * r, axis=1))
 
-            def trial(_, s):
-                Mc = project(mc - s * d)
-                return None, (Mc, phi(Mc))
-
-            _, (cands, phis) = jax.lax.scan(trial, None, steps)
-            accepted = phis < phi0[None, :]
-            first = jnp.argmax(accepted, axis=0)
-            any_acc = jnp.any(accepted, axis=0)
-            chosen = jnp.take_along_axis(
-                cands, first[None, :, None], axis=0)[0]
-            m_new = jnp.where(any_acc[:, None], chosen, mc)
+        m_new = backtracking_select(phi, project, mc, d, trials)
         return carry, jnp.where(vc[:, None] > 0.5, m_new, 0.0)
 
     _, ys = jax.lax.scan(body, None,

@@ -281,3 +281,47 @@ class TestGridModelTransform:
         t_single = m.transform(Xnew)
         assert t_grid.shape == (21, 4)
         assert np.allclose(t_grid, t_single, rtol=1e-9, atol=1e-11)
+
+
+class TestCoreReviewFindings:
+    """Round-3 deep review of the core modules (solvers/ops/models)."""
+
+    def test_sharded_sampled_dense_fit_works(self, ):
+        """_stays_sparse ignored sparse_mode under 1-D sharding, so a
+        sharded sampled-Newton fit with sparse_mode='dense' was rejected
+        with an error telling the user to do what they were already
+        doing (run_sharded host-densifies exactly this case)."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs virtual devices")
+        rng = np.random.RandomState(0)
+        Xs = sp.csr_matrix(np.abs(rng.randn(67, 53))
+                           * (rng.rand(67, 53) > 0.8))
+        Y = np.abs(rng.randn(53, 9))
+        m = CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                n_shards=2, shard_layout="rows", sparse_mode="dense",
+                random_state=0, max_iter=3).fit(Xs, Y)
+        assert np.isfinite(m.reconstruction_err_)
+        # 'auto' under the threshold densifies the local shard too
+        m2 = CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                 n_shards=2, shard_layout="rows", sparse_mode="auto",
+                 random_state=0, max_iter=3).fit(Xs, Y)
+        assert np.isfinite(m2.reconstruction_err_)
+
+    def test_bf16_factor_dtype_rejected(self):
+        with pytest.raises(ValueError, match="data_dtype"):
+            CMF(n_components=2, dtype="bfloat16").fit(
+                np.abs(np.random.RandomState(0).randn(10, 8)))
+
+    def test_csr_astype_keeps_sq_norm_precision(self):
+        from pycmf_tpu.ops.sparse import csr_from_scipy
+
+        rng = np.random.RandomState(0)
+        A = csr_from_scipy(sp.csr_matrix(np.abs(rng.randn(50, 40))),
+                           dtype=jnp.float32)
+        B = A.astype(jnp.bfloat16)
+        assert B.data.dtype == jnp.bfloat16
+        assert B.sq_norm.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(B.sq_norm),
+                                   np.asarray(A.sq_norm), rtol=1e-7)
