@@ -7,7 +7,11 @@ measurements on the target chip (docs/PERFORMANCE.md):
 - fused_mu_u_pass : ON  — one X pass beats XLA's two-pass once the wrapper
   stopped re-padding X per iteration (2.4 vs 3.4 ms/iter at 20NG scale,
   bf16 data, round 2).
-- batched_solve   : ON  — lane-dim batched Cholesky, ~3× over XLA batched LU.
+- batched_solve   : ON  — lane-dim batched Cholesky, ~3× over XLA batched LU
+  (2.73 vs 185 ms at 30000×20×20).
+- sigmoid_newton  : ON  — one-pass sigmoid G/H + one-pass all-trials φ:
+  the XLA path materializes (n, m) predictions per trial; measured
+  330 → 2.4-6 ms/iter at 20NG scale (round 3).
 - mu_ratio        : OFF — XLA fuses the Gram-matmul + ratio epilogue itself;
   the standalone kernel only adds dispatch overhead.
 - spmm_tiled      : OFF — the per-nonzero scalar-gather loop is unsafe at
@@ -33,6 +37,7 @@ import jax
 _DEFAULTS_TPU = {
     "fused_mu_u_pass": True,
     "fused_newton_u_pass": True,
+    "sigmoid_newton": True,
     "batched_solve": True,
     "mu_ratio": False,
     "spmm_tiled": False,

@@ -350,6 +350,98 @@ def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:
     return kernel_enabled("fused_newton_u_pass")
 
 
+def fused_sigmoid_allowed(cfg: SolverConfig, A, M) -> bool:
+    """Static check for the fused sigmoid G/H + multi-trial φ kernels
+    (ops/pallas/sigmoid_newton.py): dense full-batch data, Gauss-Newton
+    form (W ≥ 0 → the batched SPD Cholesky solves), kernels allowed."""
+    from ..ops.chunked import is_chunked as _is_ck
+
+    if not (cfg.use_pallas and cfg.sg_sample_ratio >= 1.0
+            and cfg.hessian_form == "gauss"):
+        return False
+    if is_sparse(A) or _is_ck(A) or M.dtype == jnp.bfloat16:
+        return False
+    from ..ops.pallas.policy import kernel_enabled
+
+    return kernel_enabled("sigmoid_newton")
+
+
+def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
+                         non_negative: bool, use_pallas: bool,
+                         yterm=None, y_link: str = LINEAR,
+                         row_mask=None):
+    """One fused-kernel Newton update of M (p, k) against X ≈ σ(M Bᵀ),
+    optionally coupled with a second XLA-evaluated term (V's Y side).
+
+    Two X passes total: sigmoid_gh_pass builds G and the stacked
+    Gauss-Newton Hessians without materializing the (p, q) predictions;
+    after the batched SPD solve, sigmoid_phi_pass evaluates EVERY
+    backtracking candidate in one more pass. Selection recomputes the
+    winning candidate from the same f32 formula (identical values).
+
+    row_mask: optional (p,) validity mask — padding rows' σ(0) = ½
+    residuals produce nonzero garbage updates, zeroed after selection
+    (same contract as the chunked sigmoid passes)."""
+    from ..ops.pallas.sigmoid_newton import (sigmoid_gh_pass,
+                                             sigmoid_phi_pass)
+
+    p, k = M.shape
+    dtype = M.dtype
+    l1 = hyper.alpha * hyper.l1_ratio
+    l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+
+    G, H_rows = sigmoid_gh_pass(X, M, B, l1, l2)
+    eye = jnp.eye(k, dtype=dtype)
+    H_shared = (l2 + hyper.hessian_pertubation) * eye
+    ctx_y = None
+    if yterm is not None:
+        t = yterm if isinstance(yterm, Term) else Term(*yterm)
+        G_y, H_sh_y, H_rw_y, ctx_y = _accumulate_term(
+            M, t.D, t.B, y_link, "gauss", None, False, tiled=t.tiled,
+            row_sq=t.row_sq, use_pallas=use_pallas, db=t.DB, btb=t.BtB)
+        G = G + G_y
+        if H_sh_y is not None:
+            H_shared = H_shared + H_sh_y
+        if H_rw_y is not None:
+            H_rows = H_rows + H_rw_y
+    d = _solve_direction(H_shared, H_rows, G, use_pallas, spd=True)
+
+    if trials <= 0:
+        out = M - d
+        if non_negative:
+            out = jnp.maximum(out, 0.0)
+        return out if row_mask is None else out * row_mask[:, None]
+
+    phis = sigmoid_phi_pass(X, M, d, B, l1, l2, trials=trials,
+                            non_negative=non_negative)
+    if ctx_y is not None:
+        # per-candidate Y objectives (small matrix — XLA); the kernel's
+        # φ already carries the penalties, so only the residual is added
+        def project(mc):
+            return jnp.maximum(mc, 0.0) if non_negative else mc
+
+        steps = 0.5 ** jnp.arange(trials, dtype=dtype)
+
+        def ytrial(_, s):
+            return None, _phi_term(project(M - s * d), ctx_y)
+
+        _, yphis = jax.lax.scan(ytrial, None, steps)
+        phis = phis + jnp.concatenate(
+            [_phi_term(M, ctx_y)[:, None], yphis.T], axis=1)
+
+    accepted = phis[:, 1:] < phis[:, :1]
+    first = jnp.argmax(accepted, axis=1)
+    any_acc = jnp.any(accepted, axis=1)
+    s = (0.5 ** first.astype(dtype))[:, None]
+    cand = M - s * d
+    if non_negative:
+        cand = jnp.maximum(cand, 0.0)
+    out = jnp.where(any_acc[:, None], cand, M)
+    if row_mask is not None:
+        out = out * row_mask[:, None]
+    return out
+
+
 def shared_gauss_hinv(V, hyper: Hyper):
     """(BtB, Hinv, l1, l2) for the shared linear-link Gauss-Newton
     system H = VᵀV + (l2 + hessian_pertubation)·I.
@@ -422,6 +514,14 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     X.A, U, V, BtB, Hinv, X.row_sq, l1, l2,
                     trials=cfg.line_search_trials,
                     non_negative=cfg.U_non_negative)
+            elif cfg.x_link != LINEAR \
+                    and fused_sigmoid_allowed(cfg, X.A, U):
+                # dense sigmoid fast path: two fused X passes (G/H, then
+                # every line-search candidate) — predictions never hit HBM
+                U = fused_sigmoid_update(
+                    U, X.A, V, hyper, trials=cfg.line_search_trials,
+                    non_negative=cfg.U_non_negative,
+                    use_pallas=cfg.use_pallas)
             else:
                 U = newton_update_factor(
                     kU, U, (Term(X.A, V, X.A_bell or X.A_tiled, X.row_sq),),
@@ -464,16 +564,30 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 # — the V update's X-side needs no second data pass.
                 terms = (Term(X.A.T, U, None, X.row_sq_t,
                               DB=numv_x, BtB=gram_u),)
+            elif cfg.x_link != LINEAR \
+                    and fused_sigmoid_allowed(cfg, X.A, V):
+                # dense sigmoid fast path, transposed orientation: V's
+                # rows see X's columns — same two fused passes over Xᵀ,
+                # with the (small) Y term folded in on the XLA side
+                V = fused_sigmoid_update(
+                    V, X.A.T, U, hyper, trials=cfg.line_search_trials,
+                    non_negative=cfg.V_non_negative,
+                    use_pallas=cfg.use_pallas,
+                    yterm=(Term(Y.A, Z, Y.A_bell or Y.A_tiled, Y.row_sq)
+                           if cfg.has_Y else None),
+                    y_link=cfg.y_link)
+                terms = None
             else:
                 terms = (Term(X.A.T, U, None, X.row_sq_t),)
-            links = (cfg.x_link,)
-            if cfg.has_Y:
-                terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_tiled,
-                                      Y.row_sq),)
-                links = links + (cfg.y_link,)
-            V = newton_update_factor(
-                kV, V, terms, links, hyper,
-                non_negative=cfg.V_non_negative, **common)
+            if terms is not None:
+                links = (cfg.x_link,)
+                if cfg.has_Y:
+                    terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_tiled,
+                                          Y.row_sq),)
+                    links = links + (cfg.y_link,)
+                V = newton_update_factor(
+                    kV, V, terms, links, hyper,
+                    non_negative=cfg.V_non_negative, **common)
         if with_aux:
             assert numv_x is not None, \
                 "with_aux requires the fused U-pass (see _aux_ok)"

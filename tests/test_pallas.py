@@ -480,3 +480,99 @@ class TestBlockEll:
                                rtol=1e-9), solver
             assert np.allclose(m1.U_, m2.U_, rtol=1e-7, atol=1e-9), solver
             assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9), solver
+
+
+class TestFusedSigmoidNewton:
+    """sigmoid_gh_pass / sigmoid_phi_pass (ops/pallas/sigmoid_newton.py)
+    vs the jnp math of newton._accumulate_term / _phi_term."""
+
+    def _parts(self, rng, n, m, k):
+        X = jnp.asarray((rng.rand(n, m) < 0.3).astype(np.float64))
+        M = jnp.asarray(rng.randn(n, k))
+        B = jnp.asarray(rng.randn(m, k))
+        return X, M, B
+
+    @pytest.mark.parametrize("n,m,k", [(137, 90, 5), (64, 300, 8)])
+    def test_gh_matches_jnp(self, rng, n, m, k):
+        from pycmf_tpu.ops.pallas.sigmoid_newton import sigmoid_gh_pass
+
+        X, M, B = self._parts(rng, n, m, k)
+        l1, l2 = 0.05, 0.2
+        G, H = sigmoid_gh_pass(X, M, B, l1, l2)
+        P = jax.nn.sigmoid(matmul(M, B.T))
+        R = P - X
+        fp = P * (1 - P)
+        W = fp * fp
+        G_want = matmul(R * fp, B) + l1 * jnp.sign(M) + l2 * M
+        H_want = jnp.einsum("pq,qk,ql->pkl", W, B, B)
+        np.testing.assert_allclose(np.asarray(G), np.asarray(G_want),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H_want),
+                                   rtol=1e-10, atol=1e-12)
+
+    @pytest.mark.parametrize("nonneg", [False, True])
+    def test_phi_matches_jnp(self, rng, nonneg):
+        from pycmf_tpu.ops.pallas.sigmoid_newton import sigmoid_phi_pass
+
+        n, m, k, T = 137, 90, 5, 6
+        X, M, B = self._parts(rng, n, m, k)
+        if nonneg:
+            M = jnp.abs(M)
+        d = jnp.asarray(rng.randn(n, k))
+        l1, l2 = 0.05, 0.2
+        phis = sigmoid_phi_pass(X, M, d, B, l1, l2, trials=T,
+                                non_negative=nonneg)
+        assert phis.shape == (n, T + 1)
+
+        def phi(Mc):
+            r = X - jax.nn.sigmoid(matmul(Mc, B.T))
+            return (l1 * jnp.sum(jnp.abs(Mc), axis=1)
+                    + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
+                    + 0.5 * jnp.sum(r * r, axis=1))
+
+        def project(Mc):
+            return jnp.maximum(Mc, 0.0) if nonneg else Mc
+
+        np.testing.assert_allclose(np.asarray(phis[:, 0]),
+                                   np.asarray(phi(M)), rtol=1e-10)
+        for t in range(T):
+            want = phi(project(M - (0.5 ** t) * d))
+            np.testing.assert_allclose(np.asarray(phis[:, t + 1]),
+                                       np.asarray(want), rtol=1e-10)
+
+    def test_update_matches_generic_trajectory(self, rng):
+        """fused_sigmoid_update vs newton_update_factor — same data,
+        same accept rule, bit-close at f64 (interpret mode)."""
+        from pycmf_tpu.solvers.common import make_hyper
+        from pycmf_tpu.solvers.newton import (Term, fused_sigmoid_update,
+                                              newton_update_factor)
+
+        n, m, k, r = 137, 90, 5, 7
+        X, M, B = self._parts(rng, n, m, k)
+        Yd = jnp.asarray(np.abs(rng.randn(n, r)))
+        Zf = jnp.asarray(rng.randn(r, k))
+        hyper = make_hyper(0.05, 0.3, 1e-9, 0.2, dtype=jnp.float64)
+        key = jax.random.PRNGKey(0)
+        ref = newton_update_factor(
+            key, M, (Term(X, B), Term(Yd, Zf)), ("sigmoid", "linear"),
+            hyper, non_negative=False, trials=8, hessian_form="gauss",
+            sample_ratio=1.0, use_pallas=False)
+        got = fused_sigmoid_update(
+            M, X, B, hyper, trials=8, non_negative=False,
+            use_pallas=False, yterm=Term(Yd, Zf), y_link="linear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_nondivisible_edge_tile(self, rng):
+        """n not divisible by the row tile: OOB rows must not corrupt
+        valid rows' outputs."""
+        from pycmf_tpu.ops.pallas.sigmoid_newton import sigmoid_gh_pass
+
+        n, m, k = 137, 90, 5
+        X, M, B = self._parts(rng, n, m, k)
+        G1, H1 = sigmoid_gh_pass(X, M, B, 0.0, 0.0, row_tile=48)
+        G2, H2 = sigmoid_gh_pass(X, M, B, 0.0, 0.0, row_tile=137)
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                                   rtol=1e-10)
