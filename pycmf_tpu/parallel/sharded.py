@@ -773,7 +773,8 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
     from ..ops.chunked import is_chunked, local_chunked
-    from ..solvers.newton import Term, fused_newton_u_allowed
+    from ..solvers.newton import (Term, fused_newton_u_allowed,
+                                  fused_sigmoid_allowed)
 
     chunk = is_chunked(ops.X)
     sparse_x = is_sparse(ops.X)
@@ -841,6 +842,16 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 Xl, U, V, BtB, Hinv, ops.row_sq, l1, l2,
                 trials=cfg.line_search_trials,
                 non_negative=cfg.U_non_negative)
+        elif cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xl, U):
+            # dense sigmoid per-shard fast path: the U update is row-
+            # local (the m axis is unsharded), so the fused kernels
+            # apply verbatim; padding-row garbage dies on the mask below
+            from ..solvers.newton import fused_sigmoid_update
+
+            U = fused_sigmoid_update(
+                U, Xl, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative,
+                use_pallas=cfg.use_pallas)
         else:
             # Local rows — no communication. Per-shard sample keys.
             kU = jax.random.fold_in(kU, jax.lax.axis_index(AXIS))
