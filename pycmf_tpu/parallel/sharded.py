@@ -949,16 +949,34 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
             non_negative=cfg.Z_non_negative, distributed=(True,),
             masks=(ymask,), axis_name=AXIS, **common)
     if cfg.update_V:
-        kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
-        terms = (Term(Xtl, U, Xt_bl, rsq_t),)
-        links = (cfg.x_link,)
-        if cfg.has_Y:
-            terms = terms + ((Yd, Z),)
-            links = links + (cfg.y_link,)
-        V = newton_update_factor(
-            kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
-            **common)
-        V = V * mask[:, None]   # keep padding rows exactly zero
+        from ..solvers.newton import fused_sigmoid_allowed
+
+        if cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xtl, V):
+            # dense sigmoid fast path: V's update is fully local in this
+            # layout (its rows see whole X columns and whole local Y
+            # rows), so the single-device fused call applies verbatim —
+            # two fused passes over the local Xᵀ shard, the (small,
+            # local) Y term folded in on the XLA side; padding rows die
+            # on row_mask inside the kernel wrapper
+            from ..solvers.newton import fused_sigmoid_update
+
+            V = fused_sigmoid_update(
+                V, Xtl, U, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.V_non_negative,
+                use_pallas=cfg.use_pallas,
+                yterm=Term(Yd, Z) if cfg.has_Y else None,
+                y_link=cfg.y_link, row_mask=mask)
+        else:
+            kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
+            terms = (Term(Xtl, U, Xt_bl, rsq_t),)
+            links = (cfg.x_link,)
+            if cfg.has_Y:
+                terms = terms + ((Yd, Z),)
+                links = links + (cfg.y_link,)
+            V = newton_update_factor(
+                kV, V, terms, links, hyper,
+                non_negative=cfg.V_non_negative, **common)
+            V = V * mask[:, None]   # keep padding rows exactly zero
     return U, V, Z
 
 
