@@ -132,6 +132,59 @@ class TestRowsPallas:
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
 
 
+class TestFusedSigmoidSharded:
+    """The dense-sigmoid fused kernels must actually be TAKEN inside the
+    sharded layouts (rows: U update; cols: V update + folded Y term), not
+    silently fall back to the masked XLA path, and must match that path."""
+
+    def _spy(self, monkeypatch):
+        import pycmf_tpu.solvers.newton as nt
+
+        calls = []
+        orig = nt.fused_sigmoid_update
+
+        def spy(*a, **k):
+            calls.append(k)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(nt, "fused_sigmoid_update", spy)
+        return calls
+
+    def _pallas_pair(self, X, Y, rng, layout, k=4):
+        U0 = np.abs(rng.randn(X.shape[0], k))
+        V0 = np.abs(rng.randn(X.shape[1], k))
+        Z0 = np.abs(rng.randn(Y.shape[1], k))
+        out = []
+        for up in (True, False):
+            m = CMF(n_components=k, solver="newton", max_iter=5, tol=0.0,
+                    dtype="float64", x_link="sigmoid", n_shards=8,
+                    shard_layout=layout, use_pallas=up,
+                    U_non_negative=False, V_non_negative=False,
+                    Z_non_negative=False)
+            m.fit(X, Y, U=U0, V=V0, Z=Z0)
+            out.append(m)
+        return out
+
+    def test_rows_u_update_takes_fused_branch(self, rng, monkeypatch):
+        calls = self._spy(monkeypatch)
+        X, Y = make_problem(rng, n=67, m=40, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        mf, mx = self._pallas_pair(X, Y, rng, "rows")
+        assert calls, "rows-sharded fused sigmoid branch never traced"
+        assert np.allclose(mf.U_, mx.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
+
+    def test_cols_v_update_takes_fused_branch(self, rng, monkeypatch):
+        calls = self._spy(monkeypatch)
+        X, Y = make_problem(rng, n=24, m=61, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        mf, mx = self._pallas_pair(X, Y, rng, "cols")
+        assert any(k.get("yterm") is not None for k in calls), \
+            "cols-sharded fused V update (with folded Y term) never traced"
+        assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
+
+
 class TestColsLayout:
     def test_mu_dense_matches_single_device(self, rng):
         X, Y = make_problem(rng, n=40, m=67)  # m not divisible by 8
