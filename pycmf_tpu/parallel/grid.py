@@ -378,21 +378,50 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
     xtmask = ops.nmask if cfg.x_link != LINEAR else None
     ymask = ops.mmask if cfg.y_link != LINEAR else None
 
+    from ..solvers.newton import fused_sigmoid_allowed, fused_sigmoid_update
+
     if cfg.update_U:
-        U = newton_update_factor(
-            kU, U, (Term(Xl, V, X_bl, ops.rsq_u[:, 0]),), (cfg.x_link,),
-            hyper, non_negative=cfg.U_non_negative, distributed=(True,),
-            masks=(xmask,), axis_name=COL_AXIS, **common)
-        U = U * ops.nmask[:, None]     # keep padding rows exactly zero
+        if cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xl, U):
+            # fused kernel partials psummed over COL; the cell's padded
+            # m columns pair with V's zero padding rows, so no column
+            # mask is needed (fused_sigmoid_update's axis_name contract)
+            U = fused_sigmoid_update(
+                U, Xl, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=COL_AXIS, row_mask=ops.nmask)
+        else:
+            U = newton_update_factor(
+                kU, U, (Term(Xl, V, X_bl, ops.rsq_u[:, 0]),), (cfg.x_link,),
+                hyper, non_negative=cfg.U_non_negative, distributed=(True,),
+                masks=(xmask,), axis_name=COL_AXIS, **common)
+            U = U * ops.nmask[:, None]  # keep padding rows exactly zero
     if cfg.has_Y and cfg.update_Z:
-        Z = newton_update_factor(
-            kZ, Z, ((Yl.T, V),), (cfg.y_link,), hyper,
-            non_negative=cfg.Z_non_negative, distributed=(True,),
-            masks=(ymask,), axis_name=COL_AXIS, **common)
+        if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, Yl, Z):
+            Z = fused_sigmoid_update(
+                Z, Yl.T, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=COL_AXIS)
+        else:
+            Z = newton_update_factor(
+                kZ, Z, ((Yl.T, V),), (cfg.y_link,), hyper,
+                non_negative=cfg.Z_non_negative, distributed=(True,),
+                masks=(ymask,), axis_name=COL_AXIS, **common)
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
         from ..ops.chunked import is_chunked
 
+        if cfg.x_link != LINEAR and not is_chunked(Xl) \
+                and fused_sigmoid_allowed(cfg, Xtl, V):
+            # fused partials over the transposed cells psummed over ROW
+            # (U's padding rows are zero); Y_j rows are LOCAL — folded in
+            # on the XLA side after the psum, never reduced
+            V = fused_sigmoid_update(
+                V, Xtl, U, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.V_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=ROW_AXIS, row_mask=ops.mmask,
+                yterm=Term(Yl, Z) if cfg.has_Y else None,
+                y_link=cfg.y_link)
+            return U, V, Z
         if is_chunked(Xl):
             # same contract as the rows layout's chunked V branch: local
             # XᵀU / UᵀU partials stream over the FORWARD layout (no

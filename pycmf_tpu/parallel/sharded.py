@@ -938,19 +938,34 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
     rsq = None if ops.row_sq is None else ops.row_sq[0]
     rsq_t = None if ops.row_sq_t is None else ops.row_sq_t[0]
 
-    if cfg.update_U:
-        U = newton_update_factor(
-            kU, U, (Term(Xl, V, X_bl, rsq),), (cfg.x_link,), hyper,
-            non_negative=cfg.U_non_negative, distributed=(True,),
-            masks=(xmask,), axis_name=AXIS, **common)
-    if cfg.has_Y and cfg.update_Z:
-        Z = newton_update_factor(
-            kZ, Z, ((Yd.T, V),), (cfg.y_link,), hyper,
-            non_negative=cfg.Z_non_negative, distributed=(True,),
-            masks=(ymask,), axis_name=AXIS, **common)
-    if cfg.update_V:
-        from ..solvers.newton import fused_sigmoid_allowed
+    from ..solvers.newton import fused_sigmoid_allowed, fused_sigmoid_update
 
+    if cfg.update_U:
+        if cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xl, U):
+            # distributed fused path: per-shard G/H/φ kernel partials
+            # psummed (padding columns pair with V's zero padding rows —
+            # see fused_sigmoid_update's axis_name contract)
+            U = fused_sigmoid_update(
+                U, Xl, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.U_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=AXIS)
+        else:
+            U = newton_update_factor(
+                kU, U, (Term(Xl, V, X_bl, rsq),), (cfg.x_link,), hyper,
+                non_negative=cfg.U_non_negative, distributed=(True,),
+                masks=(xmask,), axis_name=AXIS, **common)
+    if cfg.has_Y and cfg.update_Z:
+        if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, Yd, Z):
+            Z = fused_sigmoid_update(
+                Z, Yd.T, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=AXIS)
+        else:
+            Z = newton_update_factor(
+                kZ, Z, ((Yd.T, V),), (cfg.y_link,), hyper,
+                non_negative=cfg.Z_non_negative, distributed=(True,),
+                masks=(ymask,), axis_name=AXIS, **common)
+    if cfg.update_V:
         if cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xtl, V):
             # dense sigmoid fast path: V's update is fully local in this
             # layout (its rows see whole X columns and whole local Y
@@ -958,8 +973,6 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
             # two fused passes over the local Xᵀ shard, the (small,
             # local) Y term folded in on the XLA side; padding rows die
             # on row_mask inside the kernel wrapper
-            from ..solvers.newton import fused_sigmoid_update
-
             V = fused_sigmoid_update(
                 V, Xtl, U, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.V_non_negative,

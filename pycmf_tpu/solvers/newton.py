@@ -369,7 +369,7 @@ def fused_sigmoid_allowed(cfg: SolverConfig, A, M) -> bool:
 def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
                          non_negative: bool, use_pallas: bool,
                          yterm=None, y_link: str = LINEAR,
-                         row_mask=None):
+                         row_mask=None, axis_name=None):
     """One fused-kernel Newton update of M (p, k) against X ≈ σ(M Bᵀ),
     optionally coupled with a second XLA-evaluated term (V's Y side).
 
@@ -381,7 +381,17 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
 
     row_mask: optional (p,) validity mask — padding rows' σ(0) = ½
     residuals produce nonzero garbage updates, zeroed after selection
-    (same contract as the chunked sigmoid passes)."""
+    (same contract as the chunked sigmoid passes).
+
+    axis_name: when set, X/B hold only this shard's slice of the q axis
+    (M replicated over the mesh axis) and the kernels' G/H/φ partials are
+    psummed. No column mask is needed: the q-axis PADDING columns pair
+    with all-zero B rows (the layouts keep factor padding rows exactly
+    zero), so their G/H contributions vanish identically, and their φ
+    contribution σ(0)=½ is the same constant in every candidate slot —
+    the backtracking rule compares slots, so it cancels. The elastic-net
+    penalties are kept OUT of the kernels (l1=l2=0) and added exactly
+    once after the psum; a yterm is always shard-local (never psummed)."""
     from ..ops.pallas.sigmoid_newton import (sigmoid_gh_pass,
                                              sigmoid_phi_pass)
 
@@ -389,8 +399,15 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
     dtype = M.dtype
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+    zero = jnp.zeros((), dtype)
 
-    G, H_rows = sigmoid_gh_pass(X, M, B, l1, l2)
+    if axis_name is None:
+        G, H_rows = sigmoid_gh_pass(X, M, B, l1, l2)
+    else:
+        G, H_rows = sigmoid_gh_pass(X, M, B, zero, zero)
+        G = jax.lax.psum(G, axis_name)
+        H_rows = jax.lax.psum(H_rows, axis_name)
+        G = G + l1 * jnp.sign(M) + l2 * M
     eye = jnp.eye(k, dtype=dtype)
     H_shared = (l2 + hyper.hessian_pertubation) * eye
     ctx_y = None
@@ -412,16 +429,33 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
             out = jnp.maximum(out, 0.0)
         return out if row_mask is None else out * row_mask[:, None]
 
-    phis = sigmoid_phi_pass(X, M, d, B, l1, l2, trials=trials,
-                            non_negative=non_negative)
+    def project(mc):
+        return jnp.maximum(mc, 0.0) if non_negative else mc
+
+    steps = 0.5 ** jnp.arange(trials, dtype=dtype)
+
+    if axis_name is None:
+        phis = sigmoid_phi_pass(X, M, d, B, l1, l2, trials=trials,
+                                non_negative=non_negative)
+    else:
+        phis = jax.lax.psum(
+            sigmoid_phi_pass(X, M, d, B, zero, zero, trials=trials,
+                             non_negative=non_negative), axis_name)
+
+        # penalties once, post-psum (slot 0 = φ(M), unprojected — the
+        # kernel's convention)
+        def pen(mc):
+            return (l1 * jnp.sum(jnp.abs(mc), axis=1)
+                    + 0.5 * l2 * jnp.sum(mc * mc, axis=1))
+
+        def ptrial(_, s):
+            return None, pen(project(M - s * d))
+
+        _, pens = jax.lax.scan(ptrial, None, steps)
+        phis = phis + jnp.concatenate([pen(M)[:, None], pens.T], axis=1)
     if ctx_y is not None:
         # per-candidate Y objectives (small matrix — XLA); the kernel's
         # φ already carries the penalties, so only the residual is added
-        def project(mc):
-            return jnp.maximum(mc, 0.0) if non_negative else mc
-
-        steps = 0.5 ** jnp.arange(trials, dtype=dtype)
-
         def ytrial(_, s):
             return None, _phi_term(project(M - s * d), ctx_y)
 

@@ -184,6 +184,71 @@ class TestFusedSigmoidSharded:
         assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
         assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
 
+    def test_grid_distributed_fused_with_elastic_net(self, rng,
+                                                     monkeypatch):
+        """On the 2-D grid every sigmoid factor update (U over COL, Z over
+        COL, V over ROW + local Y term) takes the psummed fused path."""
+        calls = self._spy(monkeypatch)
+        X, Y = make_problem(rng, n=21, m=61, non_negative=False,
+                            binary_y=True)
+        X = (X > np.median(X)).astype(float)
+        k = 4
+        U0 = np.abs(rng.randn(X.shape[0], k))
+        V0 = np.abs(rng.randn(X.shape[1], k))
+        Z0 = np.abs(rng.randn(Y.shape[1], k))
+        out = []
+        for up in (True, False):
+            m = CMF(n_components=k, solver="newton", max_iter=5, tol=0.0,
+                    dtype="float64", x_link="sigmoid", y_link="sigmoid",
+                    alpha=0.1, l1_ratio=0.4, n_shards=(2, 4),
+                    shard_layout="grid", use_pallas=up,
+                    U_non_negative=False, V_non_negative=False,
+                    Z_non_negative=False)
+            m.fit(X, Y, U=U0, V=V0, Z=Z0)
+            out.append(m)
+        mf, mx = out
+        axes = [k.get("axis_name") for k in calls]
+        assert sum(a is not None for a in axes) >= 3, \
+            f"expected U/Z/V psummed fused updates, traced axes={axes}"
+        assert np.allclose(mf.U_, mx.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.Z_, mx.Z_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
+
+    def test_cols_distributed_fused_with_elastic_net(self, rng,
+                                                     monkeypatch):
+        """U's and Z's updates in the cols layout psum fused kernel
+        partials; nonzero l1/l2 exercises the penalties-once-post-psum
+        contract (kernels run with l1=l2=0)."""
+        calls = self._spy(monkeypatch)
+        X, Y = make_problem(rng, n=24, m=61, non_negative=False,
+                            binary_y=True)
+        X = (X > np.median(X)).astype(float)
+        k = 4
+        U0 = np.abs(rng.randn(X.shape[0], k))
+        V0 = np.abs(rng.randn(X.shape[1], k))
+        Z0 = np.abs(rng.randn(Y.shape[1], k))
+        out = []
+        for up in (True, False):
+            m = CMF(n_components=k, solver="newton", max_iter=5, tol=0.0,
+                    dtype="float64", x_link="sigmoid", y_link="sigmoid",
+                    alpha=0.1, l1_ratio=0.4, n_shards=8,
+                    shard_layout="cols", use_pallas=up,
+                    U_non_negative=False, V_non_negative=False,
+                    Z_non_negative=False)
+            m.fit(X, Y, U=U0, V=V0, Z=Z0)
+            out.append(m)
+        mf, mx = out
+        axes = [k.get("axis_name") for k in calls]
+        assert any(a is not None for a in axes), \
+            "distributed fused sigmoid branch (psummed partials) not traced"
+        assert any(a is None for a in axes), \
+            "local fused V update not traced"
+        assert np.allclose(mf.U_, mx.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.Z_, mx.Z_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
+
 
 class TestColsLayout:
     def test_mu_dense_matches_single_device(self, rng):
