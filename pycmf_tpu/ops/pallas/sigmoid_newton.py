@@ -27,10 +27,13 @@ Between them sits the existing batched SPD Cholesky kernel
 'full' can go indefinite, which needs the XLA LU path anyway).
 
 Used by solvers/newton.py's dense-sigmoid fast path for BOTH factor
-orientations (V's update streams the transposed operand). Zero-padded
-rows produce g = σ-residual terms that are NOT zero (σ(0) = ½), so
-callers must mask padding rows after selection — same contract as the
-jnp chunked sigmoid pass (solvers/newton_chunked.py).
+orientations (V's update streams the transposed operand), single-chip
+AND sharded: fused_sigmoid_update(axis_name=...) psums these kernels'
+G/H/φ partials over a mesh axis for the layouts that shard the data
+axis (cols U/Z, grid U/Z/V), with penalties added once post-reduction.
+Zero-padded rows produce g = σ-residual terms that are NOT zero
+(σ(0) = ½), so callers must mask padding rows after selection — same
+contract as the jnp chunked sigmoid pass (solvers/newton_chunked.py).
 """
 from __future__ import annotations
 
