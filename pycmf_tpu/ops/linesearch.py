@@ -19,6 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
+def backtracking_select_table(phis, project, M, d):
+    """Same accept rule from a PRECOMPUTED φ table (rows, trials+1):
+    slot 0 = φ(M), slot t = φ of project(M − 0.5^{t-1} d) — the fused
+    sigmoid kernels emit every candidate's objective in one data pass
+    (ops/pallas/sigmoid_newton.py), so selection only rebuilds the
+    winning candidate from the same formula (identical values)."""
+    accepted = phis[:, 1:] < phis[:, :1]
+    first = jnp.argmax(accepted, axis=1)     # first (largest) accepted
+    any_acc = jnp.any(accepted, axis=1)
+    s = (0.5 ** first.astype(M.dtype))[:, None]
+    cand = project(M - s * d)
+    return jnp.where(any_acc[:, None], cand, M)
+
+
 def backtracking_select(phi, project, M, d, trials: int):
     """Select per-row updates of M along direction d (shape of M).
 

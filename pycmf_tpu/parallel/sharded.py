@@ -774,7 +774,8 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                   use_pallas=cfg.use_pallas)
     from ..ops.chunked import is_chunked, local_chunked
     from ..solvers.newton import (Term, fused_newton_u_allowed,
-                                  fused_sigmoid_allowed)
+                                  fused_sigmoid_allowed,
+                                  fused_sigmoid_update)
 
     chunk = is_chunked(ops.X)
     sparse_x = is_sparse(ops.X)
@@ -846,8 +847,6 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             # dense sigmoid per-shard fast path: the U update is row-
             # local (the m axis is unsharded), so the fused kernels
             # apply verbatim; padding-row garbage dies on the mask below
-            from ..solvers.newton import fused_sigmoid_update
-
             U = fused_sigmoid_update(
                 U, Xl, V, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.U_non_negative,
@@ -860,10 +859,18 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 hyper, non_negative=cfg.U_non_negative, **common)
         U = U * mask[:, None]   # keep padding rows exactly zero
     if cfg.has_Y and cfg.update_Z:
-        Yt = ops.Yt if is_sparse(ops.Y) else ops.Y.T
-        Z = newton_update_factor(
-            kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
-            non_negative=cfg.Z_non_negative, **common)
+        if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, ops.Y, Z):
+            # Y is replicated in this layout — every shard runs the same
+            # local fused update (mirrors the single-device Z branch so
+            # trajectories stay matched)
+            Z = fused_sigmoid_update(
+                Z, ops.Y.T, V, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas)
+        else:
+            Yt = ops.Yt if is_sparse(ops.Y) else ops.Y.T
+            Z = newton_update_factor(
+                kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
+                non_negative=cfg.Z_non_negative, **common)
     aux = None
     if cfg.update_V:
         # chunked: Xl itself is the placeholder D (every V-term below
@@ -896,19 +903,33 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             terms = (Term(Xtl, U, None, ops.row_sq_t[0],
                           DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
             dist = (True,)
+        elif cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xtl, V):
+            # fused partials over the transposed local shard psummed
+            # over the row axis (U's padding rows are zero — see
+            # fused_sigmoid_update's axis_name contract); the REPLICATED
+            # Y term folds in once post-psum, identically on every shard
+            V = fused_sigmoid_update(
+                V, Xtl, U, hyper, trials=cfg.line_search_trials,
+                non_negative=cfg.V_non_negative, use_pallas=cfg.use_pallas,
+                axis_name=AXIS,
+                yterm=Term(ops.Y, Z) if cfg.has_Y else None,
+                y_link=cfg.y_link)
+            terms = None
         else:
             terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
             dist = (True,)
-        links = (cfg.x_link,)
-        masks = (mask if cfg.x_link != LINEAR else None,)
-        if cfg.has_Y:
-            terms = terms + ((ops.Y, Z),)
-            links = links + (cfg.y_link,)
-            dist = dist + (False,)
-            masks = masks + (None,)
-        V = newton_update_factor(
-            kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
-            distributed=dist, masks=masks, axis_name=AXIS, **common)
+        if terms is not None:
+            links = (cfg.x_link,)
+            masks = (mask if cfg.x_link != LINEAR else None,)
+            if cfg.has_Y:
+                terms = terms + ((ops.Y, Z),)
+                links = links + (cfg.y_link,)
+                dist = dist + (False,)
+                masks = masks + (None,)
+            V = newton_update_factor(
+                kV, V, terms, links, hyper,
+                non_negative=cfg.V_non_negative, distributed=dist,
+                masks=masks, axis_name=AXIS, **common)
     if with_aux:
         assert aux is not None, \
             "with_aux requires the fused U-pass and update_V"

@@ -432,8 +432,6 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
     def project(mc):
         return jnp.maximum(mc, 0.0) if non_negative else mc
 
-    steps = 0.5 ** jnp.arange(trials, dtype=dtype)
-
     if axis_name is None:
         phis = sigmoid_phi_pass(X, M, d, B, l1, l2, trials=trials,
                                 non_negative=non_negative)
@@ -442,35 +440,32 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
             sigmoid_phi_pass(X, M, d, B, zero, zero, trials=trials,
                              non_negative=non_negative), axis_name)
 
-        # penalties once, post-psum (slot 0 = φ(M), unprojected — the
-        # kernel's convention)
-        def pen(mc):
-            return (l1 * jnp.sum(jnp.abs(mc), axis=1)
-                    + 0.5 * l2 * jnp.sum(mc * mc, axis=1))
+    if axis_name is not None or ctx_y is not None:
+        # XLA-side φ columns the kernel doesn't carry — the post-psum
+        # penalties (added ONCE, not per shard) and the per-candidate Y
+        # objectives (small matrix, always shard-local) — in one scan
+        # over the candidates (slot 0 = φ(M), unprojected: the kernel's
+        # convention)
+        def extra(mc):
+            tot = jnp.zeros((p,), dtype)
+            if axis_name is not None:
+                tot = (l1 * jnp.sum(jnp.abs(mc), axis=1)
+                       + 0.5 * l2 * jnp.sum(mc * mc, axis=1))
+            if ctx_y is not None:
+                tot = tot + _phi_term(mc, ctx_y)
+            return tot
 
-        def ptrial(_, s):
-            return None, pen(project(M - s * d))
+        def trial(_, s):
+            return None, extra(project(M - s * d))
 
-        _, pens = jax.lax.scan(ptrial, None, steps)
-        phis = phis + jnp.concatenate([pen(M)[:, None], pens.T], axis=1)
-    if ctx_y is not None:
-        # per-candidate Y objectives (small matrix — XLA); the kernel's
-        # φ already carries the penalties, so only the residual is added
-        def ytrial(_, s):
-            return None, _phi_term(project(M - s * d), ctx_y)
+        steps = 0.5 ** jnp.arange(trials, dtype=dtype)
+        _, extras = jax.lax.scan(trial, None, steps)
+        phis = phis + jnp.concatenate([extra(M)[:, None], extras.T],
+                                      axis=1)
 
-        _, yphis = jax.lax.scan(ytrial, None, steps)
-        phis = phis + jnp.concatenate(
-            [_phi_term(M, ctx_y)[:, None], yphis.T], axis=1)
+    from ..ops.linesearch import backtracking_select_table
 
-    accepted = phis[:, 1:] < phis[:, :1]
-    first = jnp.argmax(accepted, axis=1)
-    any_acc = jnp.any(accepted, axis=1)
-    s = (0.5 ** first.astype(dtype))[:, None]
-    cand = M - s * d
-    if non_negative:
-        cand = jnp.maximum(cand, 0.0)
-    out = jnp.where(any_acc[:, None], cand, M)
+    out = backtracking_select_table(phis, project, M, d)
     if row_mask is not None:
         out = out * row_mask[:, None]
     return out
@@ -562,13 +557,22 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     (cfg.x_link,), hyper,
                     non_negative=cfg.U_non_negative, **common)
         if cfg.has_Y and cfg.update_Z:
-            if is_sparse(Y.A):
-                zterm = Term(Y.At, V, Y.At_bell or Y.At_tiled, Y.row_sq_t)
+            if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, Y.A, Z):
+                # dense sigmoid fast path for Z (Y is usually the small
+                # matrix, but the per-trial (q, m) intermediates go too)
+                Z = fused_sigmoid_update(
+                    Z, Y.A.T, V, hyper, trials=cfg.line_search_trials,
+                    non_negative=cfg.Z_non_negative,
+                    use_pallas=cfg.use_pallas)
             else:
-                zterm = Term(Y.A.T, V, None, Y.row_sq_t)
-            Z = newton_update_factor(
-                kZ, Z, (zterm,), (cfg.y_link,), hyper,
-                non_negative=cfg.Z_non_negative, **common)
+                if is_sparse(Y.A):
+                    zterm = Term(Y.At, V, Y.At_bell or Y.At_tiled,
+                                 Y.row_sq_t)
+                else:
+                    zterm = Term(Y.A.T, V, None, Y.row_sq_t)
+                Z = newton_update_factor(
+                    kZ, Z, (zterm,), (cfg.y_link,), hyper,
+                    non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
             if _is_ck(X.A):
                 if cfg.x_link != LINEAR:

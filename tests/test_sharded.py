@@ -170,8 +170,40 @@ class TestFusedSigmoidSharded:
         X, Y = make_problem(rng, n=67, m=40, non_negative=False)
         X = (X > np.median(X)).astype(float)
         mf, mx = self._pallas_pair(X, Y, rng, "rows")
-        assert calls, "rows-sharded fused sigmoid branch never traced"
+        axes = [k.get("axis_name") for k in calls]
+        assert any(a is None for a in axes), \
+            "rows-sharded row-local fused U update never traced"
+        assert any(a is not None for a in axes), \
+            "rows-sharded psummed fused V update never traced"
         assert np.allclose(mf.U_, mx.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
+
+    def test_rows_nonneg_distributed_fused(self, rng, monkeypatch):
+        """Projection active on the psummed fused path: the post-psum
+        penalty columns must be evaluated at the PROJECTED candidates
+        (pen(project(M − s·d))) for the accept rule to match XLA."""
+        calls = self._spy(monkeypatch)
+        X, Y = make_problem(rng, n=67, m=40, binary_y=True)
+        X = (X > np.median(X)).astype(float)
+        k = 4
+        U0 = np.abs(rng.randn(X.shape[0], k))
+        V0 = np.abs(rng.randn(X.shape[1], k))
+        Z0 = np.abs(rng.randn(Y.shape[1], k))
+        out = []
+        for up in (True, False):
+            m = CMF(n_components=k, solver="newton", max_iter=5, tol=0.0,
+                    dtype="float64", x_link="sigmoid", y_link="sigmoid",
+                    alpha=0.1, l1_ratio=0.4, n_shards=8, use_pallas=up)
+            m.fit(X, Y, U=U0, V=V0, Z=Z0)
+            out.append(m)
+        mf, mx = out
+        assert any(k.get("axis_name") is not None for k in calls)
+        assert np.all(np.asarray(mf.U_) >= 0) and np.all(
+            np.asarray(mf.V_) >= 0)
+        assert np.allclose(mf.U_, mx.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.V_, mx.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(mf.Z_, mx.Z_, rtol=1e-9, atol=1e-11)
         assert np.allclose(mf.loss_history_, mx.loss_history_, rtol=1e-10)
 
     def test_cols_v_update_takes_fused_branch(self, rng, monkeypatch):
