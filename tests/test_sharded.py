@@ -417,6 +417,31 @@ class TestShardedDeviceLoop:
         assert np.allclose(m1.Z_, m2.Z_, rtol=1e-12)
 
 
+class TestDeviceLoopFusedSigmoid:
+    def test_newton_sigmoid_x_device_matches_host(self, rng):
+        """x-sigmoid in the device-resident loop: fused kernel partials
+        psummed INSIDE lax.while_loop inside shard_map (the riskiest
+        composition for the distributed fused path)."""
+        X, Y = make_problem(rng, n=67, m=40, non_negative=False,
+                            binary_y=True)
+        X = (X > np.median(X)).astype(float)
+        U0 = rng.randn(X.shape[0], 4)
+        V0 = rng.randn(X.shape[1], 4)
+        Z0 = rng.randn(Y.shape[1], 4)
+        kw = dict(n_components=4, solver="newton", x_link="sigmoid",
+                  y_link="sigmoid", alpha=0.05, l1_ratio=0.3,
+                  U_non_negative=False, V_non_negative=False,
+                  Z_non_negative=False, n_shards=8, random_state=0,
+                  max_iter=8, tol=1e-7, dtype="float64", use_pallas=True)
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.U_, m2.U_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+        assert np.allclose(m1.Z_, m2.Z_, rtol=1e-12)
+
+
 class TestShardingInfra:
     def test_factors_actually_sharded(self, rng):
         """U must live row-sharded across the mesh during the fit — verify
