@@ -16,21 +16,34 @@ import os
 
 
 def _host_key() -> str:
-    """Short hash of the host CPU's feature flags.
+    """Short hash of the host CPU's model name AND feature flags.
 
     XLA:CPU AOT results embed the compile machine's features; this VM can
     be rescheduled onto hosts with different CPUs (observed: cached
     binaries loading with 'machine type mismatch ... could lead to SIGILL'
-    warnings). Keying the default cache dir on the flags makes a migrated
-    VM start a fresh cache instead of executing foreign binaries.
+    warnings, and one python segfault in libgcc unwinding mid-run).
+    Keying the default cache dir on the host identity makes a migrated VM
+    start a fresh cache instead of executing foreign binaries.
+
+    The model name must be part of the key: LLVM derives tuning features
+    (e.g. +prefer-no-scatter/+prefer-no-gather on some AVX512 parts) from
+    the CPU MODEL, so two hosts with identical cpuinfo `flags` lines can
+    still produce — and refuse to load — each other's AOT results.
     """
     try:
         import hashlib
 
+        model = flags = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                if not model and line.startswith("model name"):
+                    model = line
+                elif not flags and line.startswith("flags"):
+                    flags = line
+                if model and flags:
+                    break
+        if model or flags:
+            return hashlib.sha1((model + flags).encode()).hexdigest()[:10]
     except OSError:
         pass
     return "generic"
