@@ -115,11 +115,8 @@ for t in range(N):
                 continue
         print("ok", desc, flush=True)
     except ValueError as e:
-        if "sparse_mode='chunked' shards in the rows and grid" in str(e):
-            print("ok (expected refusal)", desc, flush=True)
-        else:
-            print("ERROR", desc, "->", str(e)[:200], flush=True)
-            fails += 1
+        print("ERROR", desc, "->", str(e)[:200], flush=True)
+        fails += 1
     except Exception as e:  # noqa: BLE001
         print("ERROR", desc, "->", type(e).__name__, str(e)[:200],
               flush=True)

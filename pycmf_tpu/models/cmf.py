@@ -305,10 +305,10 @@ class CMF(BaseEstimator, TransformerMixin):
 
     def _chunked_ok(self) -> bool:
         """Streaming chunked-COO X works for MU and for full-batch
-        Newton: linear link (streamed U pass + DB/BtB-fed V update) on
-        any layout, sigmoid link (per-chunk streamed predictions,
-        solvers/newton_chunked.py) single-chip only; sampled X needs
-        dense columns."""
+        Newton: linear link (streamed term passes) on any layout,
+        sigmoid link (per-chunk streamed predictions,
+        solvers/newton_chunked.py) single-chip or rows-sharded; sampled
+        X needs dense columns."""
         if self.solver == "mu":
             return True
         if self.sg_sample_ratio < 1.0:
@@ -371,11 +371,11 @@ class CMF(BaseEstimator, TransformerMixin):
                     "rows layout; use sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
-                    and self.shard_layout not in ("rows", "grid"):
+                    and self.shard_layout not in ("rows", "cols", "grid"):
                 raise ValueError(
-                    "sparse_mode='chunked' shards in the rows and grid "
-                    "layouts (per-shard/per-cell streaming); use "
-                    "shard_layout='rows'/'grid' or sparse_mode='auto'")
+                    "sparse_mode='chunked' shards in the rows, cols and "
+                    "grid layouts (per-shard/per-cell streaming); use "
+                    "sparse_mode='auto'")
         if self._resolve_data_dtype() in _FP8:
             # fp8 is the dense fused-kernel fast path only: CSR segment ops
             # and the sharded runner's per-shard layouts stay bf16/f32.

@@ -330,12 +330,14 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
 
 
 def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
-                  data_dtype=None):
+                  data_dtype=None, chunked: str = "never"):
     """Split the shared dimension m into d blocks (layout B).
 
     Returns (ops, V_pad, m): ops.mask is (m_pad,) with 1.0 on real
     shared-dimension entries (sigmoid terms need it; linear terms are exact
-    no-ops under zero padding). data_dtype: see _prepare_rows."""
+    no-ops under zero padding). data_dtype / chunked: see _prepare_rows
+    (here the streamed layout row-chunks each shard's (n, m_loc) column
+    slice — both MU numerators and the Newton linear terms stream it)."""
     ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     m_loc = -(-m // d)
@@ -355,9 +357,8 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                     (n, m_loc - blk.shape[1]))])
             blocks.append(sp.csr_matrix(blk))
             tblocks.append(sp.csr_matrix(blk.T))
-        Xd = _stack_csr_blocks(blocks, ddt)     # local (n, m_loc)
-        Xtd = _stack_csr_blocks(tblocks, ddt)   # local (m_loc, n)
-        if use_pallas:
+        want_chunked = chunked == "force"
+        if not want_chunked and use_pallas:
             from ..ops.pallas.policy import kernel_enabled
 
             if kernel_enabled("bell_spmm"):
@@ -372,6 +373,19 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
+        if not want_chunked and chunked == "auto" and X_bell is None:
+            want_chunked = True
+        if want_chunked:
+            # Per-shard streaming chunked-COO: one row-chunked layout of
+            # the local column slice serves both orientations (forward
+            # chunks feed chunked_spmm AND chunked_spmm_t).
+            from ..ops.chunked import stack_chunked_blocks
+
+            Xd = stack_chunked_blocks(blocks, ddt)
+            Xtd = None
+        else:
+            Xd = _stack_csr_blocks(blocks, ddt)     # local (n, m_loc)
+            Xtd = _stack_csr_blocks(tblocks, ddt)   # local (m_loc, n)
         # fit-time norms: local X rows are column SLICES (partial — the φ
         # psum completes them); local Xᵀ rows are full rows of Xᵀ (exact).
         rs = np.stack([
@@ -647,7 +661,13 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
 
 def _cols_local_views(ops: _ColOperands, use_pallas: bool):
     """Local (inside-shard_map) views of the cols operands: (Xl, Xtl,
-    X_bell_local | None, Xt_bell_local | None). Dense Xtl is Xl.T."""
+    X_bell_local | None, Xt_bell_local | None). Dense Xtl is Xl.T; a
+    chunked Xl carries NO transposed layout (chunked_spmm_t streams the
+    forward chunks)."""
+    from ..ops.chunked import is_chunked, local_chunked
+
+    if is_chunked(ops.X):
+        return local_chunked(ops.X), None, None, None
     sparse_x = is_sparse(ops.X)
     Xl = _local_csr(ops.X) if sparse_x else ops.X
     Xtl = _local_csr(ops.Xt) if sparse_x else Xl.T
@@ -663,9 +683,12 @@ def _cols_local_views(ops: _ColOperands, use_pallas: bool):
 def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
     """One MU iteration, cols layout: V/Y/Xᵀ sharded on m, U/Z replicated.
     psums: X·V and VᵀV (U's terms), YᵀV (Z's term)."""
+    from ..ops.chunked import chunked_spmm, chunked_spmm_t, is_chunked
+
     l1 = hyper.alpha * hyper.l1_ratio
     l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
     eps = hyper.eps
+    chunk = is_chunked(ops.X)
     sparse_x = is_sparse(ops.X)
     Xl, Xtl, X_bl, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
     Yd = ops.Y
@@ -678,6 +701,8 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
             from ..ops.pallas.bell import bell_spmm
 
             num = jax.lax.psum(bell_spmm(X_bl, V), AXIS)
+        elif chunk:
+            num = jax.lax.psum(chunked_spmm(Xl, V), AXIS)
         else:
             num = jax.lax.psum(
                 spmm(Xl, V) if sparse_x else matmul(Xl, V), AXIS)
@@ -690,6 +715,8 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
             from ..ops.pallas.bell import bell_spmm
 
             num = bell_spmm(Xt_bl, U)
+        elif chunk:
+            num = chunked_spmm_t(Xl, U)
         else:
             num = spmm(Xtl, U) if sparse_x else matmul(Xtl, U)
         S = gram(U)
@@ -704,6 +731,8 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
 
 
 def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
+    from ..ops.chunked import chunked_inner, is_chunked
+
     mask = ops.mask
     Yd = ops.Y
     sparse_x = is_sparse(ops.X)
@@ -712,7 +741,11 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
     need_gv = cfg.x_link == LINEAR or (cfg.has_Y and cfg.y_link == LINEAR)
     gV = jax.lax.psum(gram(V), AXIS) if need_gv else None
     if cfg.x_link == LINEAR:
-        if sparse_x:
+        if is_chunked(ops.X):
+            # ⟨X_loc, U V_locᵀ⟩ streamed over the forward chunks
+            a_sq = Xl.sq_norm
+            inner = chunked_inner(Xl, U, V)
+        elif sparse_x:
             a_sq = Xl.sq_norm
             if Xt_bl is not None:
                 from ..ops.pallas.bell import bell_inner
@@ -987,7 +1020,11 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
                 non_negative=cfg.Z_non_negative, distributed=(True,),
                 masks=(ymask,), axis_name=AXIS, **common)
     if cfg.update_V:
-        if cfg.x_link != LINEAR and fused_sigmoid_allowed(cfg, Xtl, V):
+        from ..ops.chunked import chunked_spmm_t, is_chunked
+
+        chunk = is_chunked(Xl)
+        if cfg.x_link != LINEAR and not chunk \
+                and fused_sigmoid_allowed(cfg, Xtl, V):
             # dense sigmoid fast path: V's update is fully local in this
             # layout (its rows see whole X columns and whole local Y
             # rows), so the single-device fused call applies verbatim —
@@ -1002,7 +1039,15 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
                 y_link=cfg.y_link, row_mask=mask)
         else:
             kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
-            terms = (Term(Xtl, U, Xt_bl, rsq_t),)
+            if chunk:
+                # linear-link V term is fully local here (its rows see
+                # whole X columns): Xᵀ U streams over the forward chunks,
+                # and D is never read once DB/BtB/row_sq are supplied
+                # (validation refuses sigmoid chunked X in this layout)
+                terms = (Term(Xl, U, None, rsq_t,
+                              DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+            else:
+                terms = (Term(Xtl, U, Xt_bl, rsq_t),)
             links = (cfg.x_link,)
             if cfg.has_Y:
                 terms = terms + ((Yd, Z),)
@@ -1163,7 +1208,10 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
 
 
 def _shard_specs_cols(ops: _ColOperands):
-    x_spec = P(AXIS) if is_sparse(ops.X) else P(None, AXIS)
+    from ..ops.chunked import is_chunked
+
+    x_spec = (P(AXIS) if is_sparse(ops.X) or is_chunked(ops.X)
+              else P(None, AXIS))
     xt_spec = None if ops.Xt is None else P(AXIS)
     y_spec = None if ops.Y is None else P(AXIS, None)
     xb_spec = None if ops.X_bell is None else P(AXIS)
@@ -1237,10 +1285,6 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
     d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     k = U0.shape[1]
 
-    if sparse_mode == "chunked" and layout != "rows":
-        raise ValueError(
-            "sparse_mode='chunked' is supported with shard_layout='rows' "
-            "(per-shard streaming); use 'auto'/'csr' for the cols layout")
     if sp.issparse(X) and sparse_mode not in ("csr", "chunked"):
         from ..utils.validation import DENSIFY_THRESHOLD
 
@@ -1286,9 +1330,12 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         return U[:n], V, Z, n_iter, losses, iters, times
 
     if layout == "cols":
+        chunked = ("force" if sparse_mode == "chunked"
+                   else "auto" if sparse_mode == "auto" else "never")
         ops, V_pad, m = _prepare_cols(X, Y, V0, d, dtype,
                                       use_pallas=cfg.use_pallas,
-                                      data_dtype=data_dtype)
+                                      data_dtype=data_dtype,
+                                      chunked=chunked)
         U = jnp.asarray(U0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))

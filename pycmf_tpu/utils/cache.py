@@ -29,21 +29,37 @@ def _host_key() -> str:
     (e.g. +prefer-no-scatter/+prefer-no-gather on some AVX512 parts) from
     the CPU MODEL, so two hosts with identical cpuinfo `flags` lines can
     still produce — and refuse to load — each other's AOT results.
+
+    The numeric family/model/stepping lines must be part of the key TOO:
+    virtualized hosts report a GENERIC marketing name ("Intel(R) Xeon(R)
+    Processor @ 2.10GHz") that is identical across different
+    microarchitectures, and a migrated VM was observed (round 3) loading
+    a prior host's AOT results with "machine type mismatch ... could
+    lead to SIGILL" warnings despite the model-name+flags key matching.
+    CPUID family/model/stepping is what LLVM's host detection actually
+    keys its tuning on.
     """
     try:
         import hashlib
 
-        model = flags = ""
+        model = flags = fam = mnum = step = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if not model and line.startswith("model name"):
                     model = line
                 elif not flags and line.startswith("flags"):
                     flags = line
-                if model and flags:
+                elif not fam and line.startswith("cpu family"):
+                    fam = line
+                elif not mnum and line.startswith("model\t"):
+                    mnum = line
+                elif not step and line.startswith("stepping"):
+                    step = line
+                if model and flags and fam and mnum and step:
                     break
-        if model or flags:
-            return hashlib.sha1((model + flags).encode()).hexdigest()[:10]
+        ident = model + flags + fam + mnum + step
+        if ident:
+            return hashlib.sha1(ident.encode()).hexdigest()[:10]
     except OSError:
         pass
     return "generic"

@@ -145,11 +145,15 @@ class TestChunkedEstimator:
                 max_iter=3, random_state=0).fit(Xs, Y)
         assert np.isfinite(m.reconstruction_err_)
 
-    def test_sharded_chunked_cols_raises(self, rng, Xs):
-        """Per-shard chunked streaming is a rows-layout feature."""
+    def test_sharded_chunked_sigmoid_cols_raises(self, rng, Xs):
+        """Streamed sigmoid Newton shards in the rows layout only (cols
+        would need column-sharded prediction chunks); linear chunked
+        cols is supported — see TestShardedChunkedCols."""
+        Xb = sp.csr_matrix((Xs.toarray() > 0).astype(float))
         with pytest.raises(ValueError, match="rows"):
-            CMF(n_components=5, solver="mu", sparse_mode="chunked",
-                n_shards=2, shard_layout="cols").fit(Xs)
+            CMF(n_components=5, solver="newton", x_link="sigmoid",
+                sparse_mode="chunked", n_shards=2,
+                shard_layout="cols").fit(Xb)
 
     def test_fp8_chunked_raises(self, rng, Xs):
         from pycmf_tpu.utils.validation import as_coupled
@@ -336,6 +340,97 @@ class TestShardedChunked:
                                   use_pallas=False, chunked="auto")
         assert is_chunked(ops.X)
         ops2, _, _ = _prepare_rows(Xs, None, U0, 4, jnp.float64,
+                                   use_pallas=False, chunked="never")
+        assert not is_chunked(ops2.X)
+
+
+class TestShardedChunkedCols:
+    """Per-shard chunked streaming in the COLS layout: each shard
+    row-chunks its (n, m_loc) column slice; MU's U numerator and the
+    Newton U term partials psum exactly as the CSR path's do, and V's
+    update streams chunked_spmm_t locally. Fits must match the
+    single-device chunked fit."""
+
+    def _inits(self, rng):
+        return (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                np.abs(rng.randn(6, 5)))
+
+    @pytest.fixture(autouse=True)
+    def _need_devices(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+
+    def test_mu_matches_single_and_csr(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="mu", max_iter=20, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="chunked", n_shards=8, shard_layout="cols",
+                 **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        mcsr = CMF(sparse_mode="csr", n_shards=8, shard_layout="cols",
+                   **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, m1.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.V_, m1.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.loss_history_, m1.loss_history_,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(ms.U_, mcsr.U_, rtol=1e-9, atol=1e-11)
+
+    def test_newton_matches_single(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0)
+        m1 = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="chunked", n_shards=8, shard_layout="cols",
+                 **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, m1.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.V_, m1.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.loss_history_, m1.loss_history_,
+                                   rtol=1e-10)
+
+    def test_mu_device_loop_matches_host(self, rng, Xs):
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="mu", max_iter=10, tol=0.0,
+                  dtype="float64", random_state=0, sparse_mode="chunked",
+                  n_shards=8, shard_layout="cols")
+        mh = CMF(loop="host", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        md = CMF(loop="device", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(md.U_, mh.U_, rtol=1e-12)
+        np.testing.assert_allclose(md.loss_history_, mh.loss_history_,
+                                   rtol=1e-12)
+
+    def test_newton_nonneg_alpha_matches_single(self, rng, Xs):
+        """Projection + elastic net through the cols chunked Newton
+        terms (U distributed, V local DB/BtB-fed)."""
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=5, tol=0.0,
+                  dtype="float64", random_state=0, alpha=0.05,
+                  l1_ratio=0.3, U_non_negative=True, V_non_negative=True,
+                  Z_non_negative=True)
+        m1 = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="chunked", n_shards=8, shard_layout="cols",
+                 **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, m1.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.V_, m1.V_, rtol=1e-9, atol=1e-11)
+
+    def test_auto_prefers_chunked_over_segsum(self, rng, Xs):
+        """cols 'auto' with a beyond-threshold local shard and no
+        BlockEll resolves to the stacked chunked layout."""
+        import jax.numpy as jnp
+
+        from pycmf_tpu.ops.chunked import is_chunked
+        from pycmf_tpu.parallel.sharded import _prepare_cols
+
+        V0 = np.abs(rng.randn(90, 5))
+        ops, _, _ = _prepare_cols(Xs, None, V0, 4, jnp.float64,
+                                  use_pallas=False, chunked="auto")
+        assert is_chunked(ops.X)
+        ops2, _, _ = _prepare_cols(Xs, None, V0, 4, jnp.float64,
                                    use_pallas=False, chunked="never")
         assert not is_chunked(ops2.X)
 
