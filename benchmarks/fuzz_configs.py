@@ -62,7 +62,10 @@ for t in range(N):
         yl = rng.choice(["linear", "sigmoid"])
         nonneg = bool(rng.rand() < 0.5)
         if xl == "sigmoid":
-            sparse = False
+            # sparse sigmoid X rides the streamed chunked layout
+            # (dense-mode parity is covered by the link tests)
+            if sparse:
+                smode = "chunked"
         elif rng.rand() < 0.3:
             sr = 0.5
     Xd = np.abs(rng.randn(n, m))

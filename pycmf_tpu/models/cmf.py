@@ -98,8 +98,8 @@ class CMF(BaseEstimator, TransformerMixin):
         STORAGE DTYPE fits ~2 GB — the fast TPU path; above that, stream
         row chunks through a reused dense buffer, ops/chunked.py, when the
         solver/links allow) | 'csr' | 'dense' | 'chunked' (force the
-        streaming layout; MU and full-batch linear Newton, single-chip or
-        rows/grid shards).
+        streaming layout; MU and full-batch Newton — either link — on
+        every layout, single-chip or sharded).
     hessian_form : 'gauss' (default) | 'full' Newton Hessian weights.
     line_search_trials : backtracking halvings (0 = full Newton step).
     n_shards : shard data over this many devices (None = single-chip;
@@ -284,7 +284,7 @@ class CMF(BaseEstimator, TransformerMixin):
                 # streamed sigmoid Newton (solvers/newton_chunked.py):
                 # per-chunk predictions, X's dense form never exists —
                 # single-chip 'auto' falls back to it past the densify
-                # threshold; sharded (rows) needs the explicit opt-in
+                # threshold; sharded layouts need the explicit opt-in
                 # (the runner's 'auto' would hand CSR shards to terms
                 # that require dense or chunked D)
                 ns = self._resolve_n_shards()
@@ -305,20 +305,14 @@ class CMF(BaseEstimator, TransformerMixin):
 
     def _chunked_ok(self) -> bool:
         """Streaming chunked-COO X works for MU and for full-batch
-        Newton: linear link (streamed term passes) on any layout,
-        sigmoid link (per-chunk streamed predictions,
-        solvers/newton_chunked.py) single-chip or rows-sharded; sampled
-        X needs dense columns."""
+        Newton on every layout — linear links through the streamed term
+        passes, sigmoid links through the per-chunk streamed predictions
+        (solvers/newton_chunked.py: row-local update chunks, rowwise and
+        colwise accumulated terms, whichever orientation each layout's
+        update needs). Sampled X needs dense columns."""
         if self.solver == "mu":
             return True
-        if self.sg_sample_ratio < 1.0:
-            return False
-        if self.x_link == "linear":
-            return True
-        ns = self._resolve_n_shards()
-        if ns is None or ns <= 1:
-            return True
-        return self.shard_layout == "rows"
+        return self.sg_sample_ratio >= 1.0
 
     def _stays_sparse(self, A) -> bool:
         """Will this host matrix remain CSR/chunked on device (i.e. NOT a
@@ -366,9 +360,8 @@ class CMF(BaseEstimator, TransformerMixin):
             if self.solver == "newton" and not self._chunked_ok():
                 raise ValueError(
                     "sparse_mode='chunked' supports Newton only with "
-                    "sg_sample_ratio=1.0 (sampling needs dense columns), "
-                    "and a sigmoid x_link only single-chip or in the "
-                    "rows layout; use sparse_mode='csr'/'dense'")
+                    "sg_sample_ratio=1.0 (sampling needs dense columns); "
+                    "use sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
                     and self.shard_layout not in ("rows", "cols", "grid"):

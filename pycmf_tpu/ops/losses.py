@@ -167,11 +167,16 @@ def _sigmoid_sq_sum(M: jnp.ndarray, B: jnp.ndarray,
 
 
 def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
-                  row_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+                  row_mask: Optional[jnp.ndarray],
+                  col_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """½‖A − σ(M Bᵀ)‖² (A dense or CSR).
 
     For CSR A:  ‖A − S‖² = Σ S² + Σ_nnz (a² − 2 a·S)  where S = σ(M Bᵀ);
     only Σ S² needs the dense product, and it streams in blocks.
+
+    col_mask: optional (q,) column weights (the cols layout's shard
+    padding columns pair with σ(·) = 0.5 ≠ 0 predictions); chunked and
+    dense branches only.
     """
     from .chunked import is_chunked
 
@@ -191,6 +196,9 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
             dv, cv, rv, mb, vc = inp
             Ac = _densify_chunk(A, dv, cv, rv)
             r = Ac.astype(mb.dtype) - jax.nn.sigmoid(matmul(mb, B.T))
+            if col_mask is not None:
+                # 0/1 mask: r²·mask² = r²·mask
+                r = r * col_mask[None, :]
             return carry + 0.5 * jnp.sum(
                 vc * jnp.sum(r * r, axis=1)), None
 
@@ -198,6 +206,10 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
             body, jnp.zeros((), M.dtype),
             (A.data, A.cols, A.rows, Mp, valid))
         return total
+    if col_mask is not None:
+        raise NotImplementedError(
+            "col_mask is supported for chunked A only (the dense/CSR "
+            "sharded paths mask on their own)")
     if is_sparse(A):
         s_sq = _sigmoid_sq_sum(M, B, row_mask)
         e = jnp.sum(M[A.row_ids] * B[A.indices], axis=1)

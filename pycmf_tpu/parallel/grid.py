@@ -422,7 +422,7 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                 yterm=Term(Yl, Z) if cfg.has_Y else None,
                 y_link=cfg.y_link)
             return U, V, Z
-        if is_chunked(Xl):
+        if is_chunked(Xl) and cfg.x_link == LINEAR:
             # same contract as the rows layout's chunked V branch: local
             # XᵀU / UᵀU partials stream over the FORWARD layout (no
             # transposed COO payload exists); D is a placeholder the
@@ -432,6 +432,13 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
 
             terms = (Term(Xl, U, None, ops.rsq_v[:, 0],
                           DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+        elif is_chunked(Xl):
+            # sigmoid V term streamed over the forward chunks per cell
+            # (ChunkedT orientation); the (G, H, φ) partials psum over
+            # ROW with U's padding rows masked via xtmask below
+            from ..ops.chunked import ChunkedT
+
+            terms = (Term(ChunkedT(Xl), U),)
         else:
             terms = (Term(Xtl, U, Xt_bl, ops.rsq_v[:, 0]),)
         links = (cfg.x_link,)
@@ -479,9 +486,18 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
         inner = jax.lax.psum(jax.lax.psum(inner, COL_AXIS), ROW_AXIS)
         gU = jax.lax.psum(gram(U), ROW_AXIS)
         x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(gU * gV))
+    elif is_chunked(ops.X):
+        # streamed masked sigmoid residual over the local cell (both
+        # axes padded: row validity folds into the chunk masks, column
+        # padding into col_mask)
+        from ..ops.losses import _sigmoid_term
+
+        x_term = jax.lax.psum(jax.lax.psum(
+            _sigmoid_term(Xl, U, V, ops.nmask, col_mask=ops.mmask),
+            COL_AXIS), ROW_AXIS)
     else:
-        # X cells are dense here: the estimator densifies sigmoid-linked
-        # Newton inputs at fit time (see _matrix_sparse_mode)
+        # X cells are dense here when the estimator densifies
+        # sigmoid-linked Newton inputs at fit time (_matrix_sparse_mode)
         R = Xl - jax.nn.sigmoid(matmul(U, V.T))
         w = ops.nmask[:, None] * ops.mmask[None, :]
         x_term = 0.5 * jax.lax.psum(
@@ -595,8 +611,8 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     storage fits the threshold (each chip holds only its dense cell);
     above it cells try per-cell BlockEll MXU layouts (block-structured
     sparsity, use_pallas), then stream as chunked-COO when the solver
-    allows it (MU, or full-batch linear-link Newton — the fast
-    scattered-sparse path), else per-cell CSR (+ local transposes).
+    allows it (MU, or full-batch Newton — the fast scattered-sparse
+    path), else per-cell CSR (+ local transposes).
     'csr' (which still tries BlockEll, like the 1-D layouts) /
     'chunked' / 'dense' force the respective layout.
     """
@@ -612,15 +628,13 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     sparse_cells = "csr"
     chunk_ok = False
     if sp.issparse(X):
-        chunk_ok = (solver == "mu"
-                    or (cfg.x_link == LINEAR
-                        and cfg.sg_sample_ratio >= 1.0))
+        chunk_ok = solver == "mu" or cfg.sg_sample_ratio >= 1.0
         if sparse_mode == "chunked":
             if not chunk_ok:
                 raise ValueError(
                     "sparse_mode='chunked' grid cells support MU and "
-                    "full-batch linear-link Newton only; use "
-                    "sparse_mode='csr'/'dense' for sigmoid or sampled X")
+                    "full-batch Newton only (sampling needs dense "
+                    "columns); use sparse_mode='csr'/'dense'")
             sparse_cells = "chunked"
         elif sparse_mode != "csr":
             from ..utils.validation import DENSIFY_THRESHOLD

@@ -761,6 +761,12 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
             inner = streamed_inner(Xtl, V, U)
         x_term = 0.5 * (jax.lax.psum(a_sq - 2.0 * inner, AXIS)
                         + jnp.sum(gram(U) * gV))
+    elif is_chunked(ops.X):
+        # streamed masked sigmoid residual over the local column block
+        from ..ops.losses import _sigmoid_term
+
+        x_term = jax.lax.psum(
+            _sigmoid_term(Xl, U, V, None, col_mask=mask), AXIS)
     else:
         # X columns are sharded: elementwise sigmoid residual is local per
         # column block; padded columns masked out (σ(0)=0.5 ≠ 0).
@@ -1039,13 +1045,20 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
                 y_link=cfg.y_link, row_mask=mask)
         else:
             kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
-            if chunk:
+            if chunk and cfg.x_link == LINEAR:
                 # linear-link V term is fully local here (its rows see
                 # whole X columns): Xᵀ U streams over the forward chunks,
                 # and D is never read once DB/BtB/row_sq are supplied
-                # (validation refuses sigmoid chunked X in this layout)
                 terms = (Term(Xl, U, None, rsq_t,
                               DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+            elif chunk:
+                # sigmoid V term streamed over the forward chunks
+                # (transposed orientation — the ChunkedT marker); fully
+                # local too, so no psums and no column mask (padding V
+                # rows are re-zeroed below)
+                from ..ops.chunked import ChunkedT
+
+                terms = (Term(ChunkedT(Xl), U),)
             else:
                 terms = (Term(Xtl, U, Xt_bl, rsq_t),)
             links = (cfg.x_link,)

@@ -158,13 +158,23 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                                                   col_mask=mask)
         return G, None, H_rows, ChunkedTSigCtx(D.ck, B, distributed,
                                                mask)
-    if is_sparse(D) or is_chunked(D):
+    if is_chunked(D):
+        # Forward-orientation streamed sigmoid term: M's rows are X's
+        # rows (the cols layout's U against a column-sharded chunked X).
+        # G/H stream per chunk; φ streams one pass per candidate.
+        from .newton_chunked import (ChunkedSigRowCtx,
+                                     chunked_sigmoid_rowwise_terms)
+
+        G, H_rows = chunked_sigmoid_rowwise_terms(D, M, B, hessian_form,
+                                                  mask=mask)
+        return G, None, H_rows, ChunkedSigRowCtx(D, B, mask, distributed)
+    if is_sparse(D):
         # Unreachable through the estimator (sigmoid-linked inputs are
         # densified or streamed at fit time); direct solver callers must
-        # densify or wrap a row-chunked layout in ChunkedT.
+        # use a chunked layout (forward or ChunkedT-wrapped).
         raise NotImplementedError(
-            "Newton sigmoid-link terms need dense D or a ChunkedT-"
-            "wrapped streaming layout (the update materializes sigmoid "
+            "Newton sigmoid-link terms need dense D or a chunked "
+            "streaming layout (the update materializes sigmoid "
             "predictions per row block either way)")
     P = jax.nn.sigmoid(matmul(M, B.T))       # (p, q)
     R = P - D.astype(P.dtype)
@@ -188,12 +198,16 @@ def _phi_term(Mc, ctx) -> jnp.ndarray:
     if isinstance(ctx, _LinearCtx):
         quad = jnp.sum(matmul(Mc, ctx.BtB) * Mc, axis=1)
         return 0.5 * (ctx.row_sq - 2.0 * jnp.sum(ctx.DB * Mc, axis=1) + quad)
-    from .newton_chunked import ChunkedTSigCtx
+    from .newton_chunked import ChunkedSigRowCtx, ChunkedTSigCtx
 
     if isinstance(ctx, ChunkedTSigCtx):
         from .newton_chunked import chunked_sigmoid_colwise_phi
 
         return chunked_sigmoid_colwise_phi(ctx, Mc)
+    if isinstance(ctx, ChunkedSigRowCtx):
+        from .newton_chunked import chunked_sigmoid_rowwise_phi
+
+        return chunked_sigmoid_rowwise_phi(ctx, Mc)
     R = ctx.D.astype(Mc.dtype) - jax.nn.sigmoid(matmul(Mc, ctx.B.T))
     if ctx.mask is not None:
         return 0.5 * jnp.sum(R * R * ctx.mask[None, :], axis=1)

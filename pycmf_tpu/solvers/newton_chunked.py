@@ -113,6 +113,71 @@ class ChunkedTSigCtx(NamedTuple):
     col_mask: object = None   # optional (n,) shard mask on the q axis
 
 
+class ChunkedSigRowCtx(NamedTuple):
+    """Line-search context for a FORWARD-orientation chunked sigmoid term
+    (M's rows are X's rows — e.g. U against a column-sharded X in the
+    cols layout; φ streams the chunks per candidate)."""
+    ck: ChunkedCoo
+    B: jnp.ndarray        # (q, k) — the column-side factor
+    mask: object          # optional (q,) column mask (sharded padding)
+    distributed: bool
+
+
+def chunked_sigmoid_rowwise_terms(X: ChunkedCoo, M, B,
+                                  hessian_form: str, mask=None):
+    """(G (p, k), H_rows (p, k, k)) of M (p, k) for the term
+    X ≈ σ(M Bᵀ) with X row-chunked ALONGSIDE M (forward orientation —
+    the mirror of chunked_sigmoid_colwise_terms, whose output rows index
+    X's columns). Per chunk the dense branch's formulas run verbatim and
+    the per-row results stack back to (p, ...).
+
+    mask: optional (q,) column mask — the sharded layouts' zero-padding
+    columns pair with nonzero σ(·) = 0.5 predictions and must be masked
+    exactly as the dense distributed path masks them. Chunk tail rows
+    (beyond p) emit garbage G/H rows; they are sliced off on return.
+    """
+    p = X.shape[0]
+    k = M.shape[1]
+    Mp = _pad_rows(M, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+
+    def body(carry, inp):
+        dv, cv, rv, mc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        Rfp, W = _sigmoid_parts(Xc, mc, B, hessian_form)
+        if mask is not None:
+            Rfp = Rfp * mask[None, :]
+            W = W * mask[None, :]
+        G = matmul(Rfp, B)
+        H = jnp.einsum("pq,qk,ql->pkl", W, B, B,
+                       precision=jax.lax.Precision.HIGHEST)
+        return carry, (G, H)
+
+    _, (G, H_rows) = jax.lax.scan(
+        body, None, (X.data, X.cols, X.rows, Mp))
+    return (G.reshape(X.n_pad, k)[:p],
+            H_rows.reshape(X.n_pad, k, k)[:p])
+
+
+def chunked_sigmoid_rowwise_phi(ctx: ChunkedSigRowCtx, Mc) -> jnp.ndarray:
+    """Per-row residual objective ½‖xᵢ − σ(B mᵢ)‖² for a candidate M
+    (p, k), streamed over X's row chunks (one pass per candidate)."""
+    X = ctx.ck
+    p = X.shape[0]
+    k = Mc.shape[1]
+    Mp = _pad_rows(Mc, X.n_pad).reshape(X.n_chunks, X.chunk_rows, k)
+
+    def body(carry, inp):
+        dv, cv, rv, mc = inp
+        Xc = _densify_chunk(X, dv, cv, rv)
+        r = Xc.astype(Mc.dtype) - jax.nn.sigmoid(matmul(mc, ctx.B.T))
+        if ctx.mask is not None:
+            return carry, 0.5 * jnp.sum(r * r * ctx.mask[None, :], axis=1)
+        return carry, 0.5 * jnp.sum(r * r, axis=1)
+
+    _, ys = jax.lax.scan(body, None, (X.data, X.cols, X.rows, Mp))
+    return ys.reshape(X.n_pad)[:p]
+
+
 def chunked_sigmoid_colwise_terms(X: ChunkedCoo, M, B,
                                   hessian_form: str, col_mask=None):
     """(G (m, k), H_rows (m, k, k)) of M (m, k) for the term

@@ -145,15 +145,12 @@ class TestChunkedEstimator:
                 max_iter=3, random_state=0).fit(Xs, Y)
         assert np.isfinite(m.reconstruction_err_)
 
-    def test_sharded_chunked_sigmoid_cols_raises(self, rng, Xs):
-        """Streamed sigmoid Newton shards in the rows layout only (cols
-        would need column-sharded prediction chunks); linear chunked
-        cols is supported — see TestShardedChunkedCols."""
-        Xb = sp.csr_matrix((Xs.toarray() > 0).astype(float))
-        with pytest.raises(ValueError, match="rows"):
-            CMF(n_components=5, solver="newton", x_link="sigmoid",
+    def test_sharded_chunked_sampled_raises(self, rng, Xs):
+        """Sampling needs dense columns in every chunked layout."""
+        with pytest.raises(ValueError, match="chunked"):
+            CMF(n_components=5, solver="newton", sg_sample_ratio=0.5,
                 sparse_mode="chunked", n_shards=2,
-                shard_layout="cols").fit(Xb)
+                shard_layout="cols").fit(Xs)
 
     def test_fp8_chunked_raises(self, rng, Xs):
         from pycmf_tpu.utils.validation import as_coupled
@@ -526,13 +523,58 @@ class TestChunkedSigmoidNewton:
             CMF(**self._base(sparse_mode="chunked",
                              sg_sample_ratio=0.5)).fit(Xs, Y)
 
-    def test_sharded_cols_raises(self, rng):
-        """Chunked sigmoid shards in the rows layout only (per-shard
-        row-local chunks); cols would chunk the wrong axis."""
-        Xs, Y, _, _, _ = self._problem(rng)
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(**self._base(sparse_mode="chunked", n_shards=8,
-                             shard_layout="cols")).fit(Xs, Y)
+    def test_sharded_cols_matches_dense(self, rng):
+        """Chunked sigmoid in the COLS layout: U's rowwise (G, H, φ)
+        stream per chunk and psum over the column shards; V's colwise
+        terms are shard-local."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base()
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(sparse_mode="chunked", n_shards=8,
+                shard_layout="cols", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(s.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.V_, d.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.loss_history_, d.loss_history_,
+                                   rtol=1e-9)
+
+    def test_sharded_grid_matches_dense(self, rng):
+        """Chunked sigmoid on the 2-D GRID: U psums over COL, V's
+        ChunkedT terms psum over ROW, the streamed masked loss psums
+        over both — all with the cell padding masks."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, _, U0, V0, Z0 = self._problem(rng)
+        Yb = (rng.rand(53, 9) < 0.4).astype(float)
+        base = self._base(y_link="sigmoid")
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Yb, U=U0, V=V0,
+                                                 Z=Z0)
+        s = CMF(sparse_mode="chunked", n_shards=(2, 4),
+                shard_layout="grid", **base).fit(Xs, Yb, U=U0, V=V0,
+                                                 Z=Z0)
+        np.testing.assert_allclose(s.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.V_, d.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.loss_history_, d.loss_history_,
+                                   rtol=1e-9)
+
+    def test_sharded_cols_device_loop_matches_host(self, rng):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(sparse_mode="chunked", n_shards=8,
+                          shard_layout="cols")
+        h = CMF(loop="host", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        v = CMF(loop="device", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(v.U_, h.U_, rtol=1e-12)
+        np.testing.assert_allclose(v.loss_history_, h.loss_history_,
+                                   rtol=1e-12)
 
     def test_trials_zero_matches_dense(self, rng):
         Xs, Y, U0, V0, Z0 = self._problem(rng)
@@ -631,8 +673,17 @@ class TestShardedChunkedSigmoid:
                                    d.transform(Xs[:20]),
                                    rtol=1e-9, atol=1e-11)
 
-    def test_grid_still_raises(self, rng):
-        Xs, Y, _, _, _ = self._problem(rng)
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(**self._base(sparse_mode="chunked", n_shards=(2, 4),
-                             shard_layout="grid")).fit(Xs, Y)
+    def test_grid_matches_dense(self, rng):
+        """Grid chunked-sigmoid cells (previously raised): parity vs
+        the dense single-device fit."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base()
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(sparse_mode="chunked", n_shards=(2, 4),
+                shard_layout="grid", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(s.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(s.V_, d.V_, rtol=1e-9, atol=1e-11)
