@@ -15,7 +15,8 @@ tests/test_sharded.py::TestShardedDeviceLoop).
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python benchmarks/fuzz_configs.py <seed> <n_cases>
 
-Round-3 result: 120 cases (seeds 0 and 7), 0 failures.
+Round-3 result: 120 cases (seeds 0 and 7), 0 failures; +40 (seed 3,
+with sigmoid-chunked combos on all layouts), 0 failures.
 """
 import jax
 jax.config.update("jax_platforms", "cpu")
