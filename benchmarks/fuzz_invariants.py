@@ -1,8 +1,8 @@
 """Randomized invariant fuzzer: cross-path properties the config fuzzer
 (fuzz_configs.py) does not cover.
 
-Per random tiny problem (shapes below/around one tile, non-divisible by
-the mesh, all layouts on 8 virtual CPU devices) it checks, at f64:
+Per random case (the shared generator in fuzz_common.py) it checks, at
+f64 with use_pallas=True (interpret-mode kernels on the CPU backend):
 
 1. loop='device' matches loop='host' (same config, same init) — the
    device-resident while_loop and the host tol loop share one RNG
@@ -20,8 +20,8 @@ the mesh, all layouts on 8 virtual CPU devices) it checks, at f64:
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python benchmarks/fuzz_invariants.py <seed> <n_cases>
 
-Round-3 result: 80 cases (seeds 0, 1 — the latter with
-chunked sigmoid/MU combos), 0 failures.
+Round-3 results: 80 cases pre-refactor (seeds 0, 1), then 40 more
+(seed 1) through the shared generator — 0 failures total.
 """
 import jax
 
@@ -31,10 +31,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
-import scipy.sparse as sp
 
+from fuzz_common import draw_case
 from pycmf_tpu import CMF
 
 seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
@@ -50,60 +51,18 @@ def close(a, b, rtol=1e-9, atol=1e-12):
 for t in range(N):
     if t and t % 25 == 0:
         jax.clear_caches()  # bound LLVM JIT memory (see fuzz_configs.py)
-    n = int(rng.choice([3, 5, 8, 9, 17, 33, 65]))
-    m = int(rng.choice([3, 5, 8, 9, 17, 33]))
-    q = int(rng.choice([1, 2, 5, 9]))
-    k = int(rng.choice([1, 2, 4]))
-    solver = rng.choice(["mu", "newton"])
-    has_y = rng.rand() < 0.8
-    sparse = rng.rand() < 0.3
-    alpha = float(rng.choice([0.0, 0.05]))
-    lay = rng.choice(["none", "rows", "cols", "grid"])
-    nonneg, xl, yl, sr = True, "linear", "linear", 1.0
-    smode = "auto"
-    if solver == "newton":
-        xl = rng.choice(["linear", "sigmoid"])
-        yl = rng.choice(["linear", "sigmoid"])
-        nonneg = bool(rng.rand() < 0.5)
-        if xl == "sigmoid":
-            # sparse sigmoid X rides the streamed chunked layout
-            if sparse:
-                smode = "chunked"
-        elif rng.rand() < 0.3:
-            sr = 0.5
-    Xd = np.abs(rng.randn(n, m))
-    if xl == "sigmoid":
-        Xd = (Xd > np.median(Xd)).astype(float)
-    X = sp.csr_matrix(Xd * (rng.rand(n, m) > 0.5)) if sparse else Xd
-    if sparse and solver == "mu" and rng.rand() < 0.4:
-        smode = "chunked"
-    Y = None
-    if has_y:
-        Y = np.abs(rng.randn(m, q))
-        if yl == "sigmoid":
-            Y = (Y > np.median(Y)).astype(float)
-    U0 = np.abs(rng.randn(n, k))
-    V0 = np.abs(rng.randn(m, k))
-    Z0 = np.abs(rng.randn(q, k)) if has_y else None
-    kw = dict(n_components=k, solver=solver, tol=0.0, dtype="float64",
-              alpha=alpha, l1_ratio=0.5, x_link=xl, y_link=yl,
-              sparse_mode=smode, sg_sample_ratio=sr,
-              U_non_negative=nonneg, V_non_negative=nonneg,
-              Z_non_negative=nonneg, random_state=7)
-    skw = {}
-    if lay != "none":
-        skw = dict(n_shards=(2, 4) if lay == "grid" else 8,
-                   shard_layout=lay)
-    desc = (f"[{t}] n={n} m={m} q={q} k={k} {solver} x={xl} y={yl} "
-            f"nn={nonneg} sp={sparse} a={alpha} sr={sr} lay={lay}")
+    c = draw_case(rng)
+    X, Y, U0, V0, Z0 = c["X"], c["Y"], c["U0"], c["V0"], c["Z0"]
+    kw = dict(random_state=7, use_pallas=True, **c["kw"], **c["skw"])
+    desc = f"[{t}] {c['desc']}"
     try:
-        base = CMF(max_iter=4, **kw, **skw)
+        base = CMF(max_iter=4, **kw)
         base.fit(X, Y, U=U0, V=V0, Z=Z0)
 
         # 1. device loop == host loop
-        dev = CMF(max_iter=4, loop="device", **kw, **skw)
+        dev = CMF(max_iter=4, loop="device", **kw)
         dev.fit(X, Y, U=U0, V=V0, Z=Z0)
-        hst = CMF(max_iter=4, loop="host", **kw, **skw)
+        hst = CMF(max_iter=4, loop="host", **kw)
         hst.fit(X, Y, U=U0, V=V0, Z=Z0)
         if not (close(dev.U_, hst.U_) and close(dev.V_, hst.V_)):
             print("LOOP-MISMATCH", desc,
@@ -113,10 +72,10 @@ for t in range(N):
             continue
 
         # 2. warm-start resume (full-batch only)
-        if sr >= 1.0:
-            half = CMF(max_iter=2, **kw, **skw)
+        if c["sr"] >= 1.0:
+            half = CMF(max_iter=2, **kw)
             half.fit(X, Y, U=U0, V=V0, Z=Z0)
-            res = CMF(max_iter=2, **kw, **skw)
+            res = CMF(max_iter=2, **kw)
             res.fit(X, Y, U=np.asarray(half.U_), V=np.asarray(half.V_),
                     Z=None if Z0 is None else np.asarray(half.Z_))
             if not (close(res.U_, base.U_, 1e-7, 1e-10)
@@ -128,7 +87,7 @@ for t in range(N):
                 continue
 
         # 3. eval-cadence independence at tol=0
-        ev = CMF(max_iter=4, eval_every=3, **kw, **skw)
+        ev = CMF(max_iter=4, eval_every=3, **kw)
         ev.fit(X, Y, U=U0, V=V0, Z=Z0)
         if not (close(ev.U_, base.U_) and close(ev.V_, base.V_)):
             print("CADENCE-MISMATCH", desc,
@@ -139,12 +98,13 @@ for t in range(N):
 
         # 4. transform parity (pallas on/off; sharded vs single)
         n2 = int(rng.choice([2, 7, 13]))
+        m = V0.shape[0]
         X2 = np.abs(rng.randn(n2, m))
-        if xl == "sigmoid":
+        if c["kw"]["x_link"] == "sigmoid":
             X2 = (X2 > np.median(X2)).astype(float)
-        U2 = np.abs(rng.randn(n2, k))
+        U2 = np.abs(rng.randn(n2, U0.shape[1]))
         tp = base.transform(X2, U=U2)
-        base_x = CMF(max_iter=4, use_pallas=False, **kw, **skw)
+        base_x = CMF(max_iter=4, **{**kw, "use_pallas": False})
         base_x.fit(X, Y, U=U0, V=V0, Z=Z0)
         tx = base_x.transform(X2, U=U2)
         if not close(tp, tx, 1e-7, 1e-9):
@@ -153,8 +113,10 @@ for t in range(N):
                   flush=True)
             fails += 1
             continue
-        if lay != "none" and sr >= 1.0:
-            single = CMF(max_iter=4, **kw)
+        if c["lay"] != "none" and c["sr"] >= 1.0:
+            single = CMF(max_iter=4,
+                         **{k: v for k, v in kw.items()
+                            if k not in ("n_shards", "shard_layout")})
             single.fit(X, Y, U=U0, V=V0, Z=Z0)
             ts = single.transform(X2, U=U2)
             if not close(tp, ts, 1e-6, 1e-8):

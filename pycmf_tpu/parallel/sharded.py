@@ -348,7 +348,7 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
 
     if sp.issparse(X):
         Xc = sp.csc_matrix(X)
-        blocks, tblocks = [], []
+        blocks = []
         for i in range(d):
             lo, hi = i * m_loc, min((i + 1) * m_loc, m)
             blk = Xc[:, lo:hi]
@@ -356,7 +356,10 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                 blk = sp.hstack([blk, sp.csc_matrix(
                     (n, m_loc - blk.shape[1]))])
             blocks.append(sp.csr_matrix(blk))
-            tblocks.append(sp.csr_matrix(blk.T))
+        # transposed blocks are built lazily: the chunked layout never
+        # reads them (one forward layout serves both orientations), and
+        # for beyond-HBM X they cost an O(nnz) host transpose per shard
+        tblocks = None
         want_chunked = chunked == "force"
         if not want_chunked and use_pallas:
             from ..ops.pallas.policy import kernel_enabled
@@ -366,6 +369,7 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                 # the rows layout (both orientations must convert).
                 from ..utils.validation import DENSIFY_THRESHOLD
 
+                tblocks = [sp.csr_matrix(b.T) for b in blocks]
                 X_bell = _stack_bell_blocks(blocks, ddt,
                                             DENSIFY_THRESHOLD)
                 Xt_bell = (None if X_bell is None else
@@ -384,6 +388,8 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
             Xd = stack_chunked_blocks(blocks, ddt)
             Xtd = None
         else:
+            if tblocks is None:
+                tblocks = [sp.csr_matrix(b.T) for b in blocks]
             Xd = _stack_csr_blocks(blocks, ddt)     # local (n, m_loc)
             Xtd = _stack_csr_blocks(tblocks, ddt)   # local (m_loc, n)
         # fit-time norms: local X rows are column SLICES (partial — the φ
