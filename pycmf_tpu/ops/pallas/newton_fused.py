@@ -56,12 +56,25 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
     u = u_ref[:]                        # (R, k) f32
     btb = btb_ref[:]                    # (k, k) f32
     acc = u.dtype
+    # f32 operands: request true-f32 MXU passes — the kernel is HBM-bound
+    # on the X stream, so the extra passes are free, while the default
+    # single bf16 pass costs ~3e-3 relative error, which swamps the line
+    # search's small late-stage improvements (measured: a 4000×1200
+    # sigmoid-Y fit stalled at +22% objective vs the XLA path — see
+    # docs/PERFORMANCE.md). bf16/fp8 data keeps the native single pass.
+    xprec = (jax.lax.Precision.HIGHEST
+             if x.dtype in (jnp.float32, jnp.float64)
+             else jax.lax.Precision.DEFAULT)
+    fprec = (jax.lax.Precision.HIGHEST
+             if acc in (jnp.float32, jnp.float64)
+             else jax.lax.Precision.DEFAULT)
 
     db = jax.lax.dot_general(           # X V — THE data pass
-        x, vtx_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=acc)
-    g = jnp.dot(u, btb, preferred_element_type=acc) - db \
+        x, vtx_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=acc,
+        precision=xprec)
+    g = jnp.dot(u, btb, preferred_element_type=acc, precision=fprec) - db \
         + l1 * jnp.sign(u) + l2 * u
-    d = jnp.dot(g, hinv_ref[:], preferred_element_type=acc)
+    d = jnp.dot(g, hinv_ref[:], preferred_element_type=acc, precision=fprec)
 
     def project(mc):
         return jnp.maximum(mc, 0.0) if non_negative else mc
@@ -73,7 +86,8 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
 
         def phi(mc):
             quad = jnp.sum(
-                jnp.dot(mc, btb, preferred_element_type=acc) * mc, axis=1)
+                jnp.dot(mc, btb, preferred_element_type=acc,
+                        precision=fprec) * mc, axis=1)
             lin = jnp.sum(db * mc, axis=1)
             pen = l1 * jnp.sum(jnp.abs(mc), axis=1) \
                 + 0.5 * l2 * jnp.sum(mc * mc, axis=1)
@@ -99,10 +113,10 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
     def accumulate(unew_f, x_t):
         numvt_acc[:] += jax.lax.dot_general(
             unew_f.astype(x.dtype), x_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=acc)
+            preferred_element_type=acc, precision=xprec)
         gramu_acc[:] += jax.lax.dot_general(
             unew_f, unew_f, (((0,), (0,)), ((), ())),
-            preferred_element_type=acc)
+            preferred_element_type=acc, precision=fprec)
 
     @pl.when(i < n_prog - 1)
     def _acc_full():

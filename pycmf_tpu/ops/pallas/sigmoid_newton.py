@@ -61,13 +61,25 @@ def _gh_kernel(scal_ref, x_ref, m_ref, bt_ref, g_ref, h_ref, *, k: int):
     mrow = m_ref[:]                     # (R, k) f32
     bt = bt_ref[:]                      # (k, m) f32
     acc = mrow.dtype
+    # f32 factors: true-f32 MXU passes for the PREDICTION and GRADIENT
+    # dots — the default single bf16 pass's ~3e-3 logit noise biases G at
+    # small residuals and stalls convergence far from the f32 optimum
+    # (measured: 500.3 vs 180.7 final loss on a 4000×1200 sigmoid-X fit,
+    # kernels vs XLA). The k-unrolled Hessian dots below stay DEFAULT:
+    # they carry the kernel's dominant n·m·k² FLOPs, and H noise only
+    # perturbs the damped Newton direction, not the accept decisions.
+    fprec = (jax.lax.Precision.HIGHEST
+             if acc in (jnp.float32, jnp.float64)
+             else jax.lax.Precision.DEFAULT)
 
-    p = jax.nn.sigmoid(jnp.dot(mrow, bt, preferred_element_type=acc))
+    p = jax.nn.sigmoid(jnp.dot(mrow, bt, preferred_element_type=acc,
+                               precision=fprec))
     r = p - x.astype(acc)
     fp = p * (1.0 - p)
     w = fp * fp                          # gauss form: W ≥ 0
     g_ref[:] = jax.lax.dot_general(
-        r * fp, bt, (((1,), (1,)), ((), ())), preferred_element_type=acc) \
+        r * fp, bt, (((1,), (1,)), ((), ())), preferred_element_type=acc,
+        precision=fprec) \
         + l1 * jnp.sign(mrow) + l2 * mrow
     # H[p, a, :] = Σ_q W[p, q]·B[q, a]·B[q, :] — unroll a (k dot_generals,
     # the einsum's FLOPs on the MXU); emit the k² lanes row-major.
@@ -138,9 +150,15 @@ def _phi_kernel(scal_ref, x_ref, m_ref, d_ref, bt_ref, phi_ref, *,
     d = d_ref[:]
     bt = bt_ref[:]
     acc = mrow.dtype
+    # true-f32 prediction dots: the accept rule compares φ differences
+    # far below the default bf16 pass's noise floor (see _gh_kernel)
+    fprec = (jax.lax.Precision.HIGHEST
+             if acc in (jnp.float32, jnp.float64)
+             else jax.lax.Precision.DEFAULT)
 
     def phi(mc):
-        p = jax.nn.sigmoid(jnp.dot(mc, bt, preferred_element_type=acc))
+        p = jax.nn.sigmoid(jnp.dot(mc, bt, preferred_element_type=acc,
+                                   precision=fprec))
         r = x - p
         return (l1 * jnp.sum(jnp.abs(mc), axis=1)
                 + 0.5 * l2 * jnp.sum(mc * mc, axis=1)
