@@ -38,6 +38,14 @@ def _host_key() -> str:
     lead to SIGILL" warnings despite the model-name+flags key matching.
     CPUID family/model/stepping is what LLVM's host detection actually
     keys its tuning on.
+
+    NOTE: 'machine type mismatch' warnings naming ONLY +prefer-no-scatter
+    / +prefer-no-gather are a benign XLA false positive — those are LLVM
+    tuning preferences, not CPUID flags, so the AOT loader's feature check
+    fails on them even when a host reloads its OWN cache (verified: fresh
+    dir, two same-host processes, warning on the second). A genuinely
+    foreign cache warns about real ISA features (and can SIGILL); that is
+    what this key prevents.
     """
     try:
         import hashlib
