@@ -327,9 +327,16 @@ class CMF(BaseEstimator, TransformerMixin):
         from ..utils.validation import DENSIFY_THRESHOLD
 
         ddt = self._resolve_data_dtype()
-        item = 4 if ddt in _FP8 else jnp.dtype(ddt).itemsize
         n, m = A.shape
         ns = self._resolve_n_shards()
+        if ddt in _FP8:
+            # single-chip fp8 densify scatters through a transient f32
+            # device buffer (as_coupled), so it counts f32 bytes; sharded
+            # fp8 shards are host-densified and uploaded at 1 byte/elt
+            # (run_sharded / run_grid count the same way)
+            item = 1 if ns is not None and ns > 1 else 4
+        else:
+            item = jnp.dtype(ddt).itemsize
         if ns is not None and ns > 1:
             # 'auto' under sharding: every layout densifies its LOCAL
             # shard/cell independently against the threshold (run_sharded
@@ -370,14 +377,10 @@ class CMF(BaseEstimator, TransformerMixin):
                     "grid layouts (per-shard/per-cell streaming); use "
                     "sparse_mode='auto'")
         if self._resolve_data_dtype() in _FP8:
-            # fp8 is the dense fused-kernel fast path only: CSR segment ops
-            # and the sharded runner's per-shard layouts stay bf16/f32.
-            ns = self._resolve_n_shards()
-            sharded = ns is not None and ns > 1
-            if sharded:
-                raise ValueError(
-                    "data_dtype='fp8' is not supported with n_shards > 1; "
-                    "use data_dtype='bfloat16' for sharded fits")
+            # fp8 is the dense fused-kernel fast path only: CSR segment
+            # ops, BlockEll and chunked layouts stay bf16/f32. Sharded
+            # fits are fine — each layout stores dense fp8 shards/cells
+            # and the fused kernels upcast tiles in-register per shard.
             # Only X is stored fp8 (Y is bf16 — see the fit conversion),
             # and a sigmoid-linked Newton X is force-densified by
             # _matrix_sparse_mode — so the check follows the ACTUAL
@@ -576,10 +579,6 @@ class CMF(BaseEstimator, TransformerMixin):
             from ..parallel.sharded import run_sharded
 
             ddt = self._resolve_data_dtype()
-            if ddt in _FP8:
-                raise ValueError(
-                    "data_dtype='fp8' is not supported with n_shards > 1; "
-                    "use data_dtype='bfloat16' for sharded transforms")
             Uf, _, _, _, _, _, _ = run_sharded(
                 self.solver, X, None, np.asarray(U0, dtype=np.float64),
                 self.V_, None, cfg, hyper, rng, n_shards=n_shards,

@@ -50,7 +50,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.links import LINEAR
 from ..ops.losses import penalty
-from ..ops.matmul import gram, matmul
+from ..ops.matmul import FP8_DTYPES, gram, matmul
 from ..solvers.common import Hyper, SolverConfig, run_solver_loop
 from ..solvers.mu import mu_ratio_update
 from ..solvers.newton import Term, newton_update_factor
@@ -258,6 +258,10 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
     else:
         Xh = np.zeros((n_pad, m_pad), dtype=np.float64)
         Xh[:n, :m] = np.asarray(X)
+        if ddt in FP8_DTYPES:
+            # quantized-norms convention: fit-time norms describe the
+            # STORED values (utils/validation._dense_coupled)
+            Xh = Xh.astype(ddt).astype(np.float64)
         Xd = jnp.asarray(Xh, dtype=ddt)
         a_sq64 = np.sum(Xh * Xh)
         # fit-time partial row norms: rsq_u[i, j] = ‖X[i, block j]‖²
@@ -268,14 +272,16 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
         rsq_v = np.stack(
             [(Xh[i * n_loc:(i + 1) * n_loc] ** 2).sum(axis=0)
              for i in range(r)], axis=1)
+    # fp8 X keeps Y at bf16, same rule as the 1-D layouts / single-chip
+    yddt = jnp.bfloat16 if ddt in FP8_DTYPES else ddt
     if Y is None:
         # zero-column placeholder: shard_map specs stay uniform and the
         # cfg.has_Y gate keeps it out of every computation
-        Yd = jnp.zeros((m_pad, 0), dtype=ddt)
+        Yd = jnp.zeros((m_pad, 0), dtype=yddt)
     else:
         Yh = np.zeros((m_pad, Y.shape[1]))
         Yh[:m] = np.asarray(Y)
-        Yd = jnp.asarray(Yh, dtype=ddt)
+        Yd = jnp.asarray(Yh, dtype=yddt)
     nmask = np.zeros((n_pad,))
     nmask[:n] = 1.0
     mmask = np.zeros((m_pad,))
@@ -655,6 +661,18 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
                 sparse_cells = "auto"
     if Y is not None and sp.issparse(Y):
         Y = np.asarray(Y.todense())
+    if data_dtype is not None and data_dtype in FP8_DTYPES:
+        # fp8 is the dense fused-kernel fast path only — same rule as
+        # as_coupled / run_sharded (per-cell CSR/BlockEll/chunked layouts
+        # have no fp8 promotion path)
+        if sp.issparse(X):
+            raise ValueError(
+                "fp8 data storage requires dense device cells, but X "
+                f"stays sparse under sparse_mode={sparse_mode!r} at this "
+                "cell size; use data_dtype='bfloat16' or a bigger grid")
+        from ..utils.validation import check_fp8_range
+
+        check_fp8_range(X, data_dtype)
     ops, U_pad, V_pad, n, m = _prepare_grid(X, Y, U0, V0, r, c, dtype,
                                             data_dtype=data_dtype,
                                             sparse_cells=sparse_cells,

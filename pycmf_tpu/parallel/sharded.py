@@ -38,7 +38,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.links import LINEAR
 from ..ops.losses import penalty, reconstruction_term
-from ..ops.matmul import gram, matmul
+from ..ops.matmul import FP8_DTYPES, gram, matmul
 from ..ops.sparse import CsrMatrix, is_sparse, sddmm_dot, spmm
 from ..solvers.common import Hyper, SolverConfig, run_solver_loop
 from ..solvers.mu import mu_ratio_update
@@ -287,17 +287,25 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
     else:
         Xh = np.zeros((n_pad, m), dtype=np.float64)
         Xh[:n] = np.asarray(X)
+        if ddt in FP8_DTYPES:
+            # quantized-norms convention: the fit-time norms below must
+            # describe the STORED values (utils/validation._dense_coupled)
+            Xh = Xh.astype(ddt).astype(np.float64)
         Xd = jnp.asarray(Xh, dtype=ddt)
         Xtd = None
 
+    # fp8 storage is for the BIG matrix only (same rule as the single-chip
+    # fit conversion): the small Y stays bf16 — quantizing it saves nothing
+    # and costs label precision.
+    yddt = jnp.bfloat16 if ddt in FP8_DTYPES else ddt
     if Y is None:
         Yd = Ytd = None
     elif sp.issparse(Y):
         from ..ops.sparse import csr_transpose_host
 
-        Yd, Ytd = csr_transpose_host(Y, ddt)
+        Yd, Ytd = csr_transpose_host(Y, yddt)
     else:
-        Yd = jnp.asarray(np.asarray(Y), dtype=ddt)
+        Yd = jnp.asarray(np.asarray(Y), dtype=yddt)
         Ytd = None
 
     # fit-time per-row norms (constant across iterations)
@@ -401,6 +409,9 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
     else:
         Xh = np.zeros((n, m_pad), dtype=np.float64)
         Xh[:, :m] = np.asarray(X)
+        if ddt in FP8_DTYPES:
+            # quantized-norms convention (see _prepare_rows)
+            Xh = Xh.astype(ddt).astype(np.float64)
         Xd = jnp.asarray(Xh, dtype=ddt)
         Xtd = None
         rs = np.stack([(Xh[:, i * m_loc:(i + 1) * m_loc] ** 2).sum(axis=1)
@@ -423,7 +434,9 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
             Y = np.asarray(Y.todense())
         Yh = np.zeros((m_pad, Y.shape[1]), dtype=np.float64)
         Yh[:m] = np.asarray(Y)
-        Yd = jnp.asarray(Yh, dtype=ddt)
+        # fp8 X keeps Y at bf16 (same rule as _prepare_rows)
+        Yd = jnp.asarray(
+            Yh, dtype=jnp.bfloat16 if ddt in FP8_DTYPES else ddt)
 
     V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
     V_pad[:m] = V0
@@ -1309,12 +1322,29 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
 
         n, m = X.shape
         local = (-(-n // d)) * m if layout == "rows" else n * (-(-m // d))
+        # per-shard HBM bytes at the storage dtype — fp8 shards really are
+        # 1 byte/elt (the host densifies in f64 and uploads converted
+        # shards; no on-device f32 scatter detour like as_coupled's)
         item = (jnp.dtype(data_dtype).itemsize if data_dtype is not None
                 else jnp.dtype(dtype).itemsize)
         if sparse_mode == "dense" or local * item <= DENSIFY_THRESHOLD:
             # NB single-controller: the HOST materializes the full dense
             # matrix while splitting; each chip's HBM holds only its shard.
             X = np.asarray(X.todense())
+
+    if data_dtype is not None and data_dtype in FP8_DTYPES:
+        # fp8 is the dense fused-kernel fast path only — same rule as
+        # as_coupled (CSR segment ops / chunked streaming have no fp8
+        # promotion path). The estimator pre-checks this; direct callers
+        # get the same clean error here.
+        if sp.issparse(X):
+            raise ValueError(
+                "fp8 data storage requires dense device shards, but X "
+                f"stays sparse under sparse_mode={sparse_mode!r} at this "
+                "shard size; use data_dtype='bfloat16' or more shards")
+        from ..utils.validation import check_fp8_range
+
+        check_fp8_range(X, data_dtype)
 
     if layout == "rows":
         chunked = ("force" if sparse_mode == "chunked"

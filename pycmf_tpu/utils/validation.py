@@ -23,11 +23,31 @@ from ..solvers.common import Coupled
 DENSIFY_THRESHOLD = 1 << 31  # 2 GB
 
 
+def check_fp8_range(A, dtype) -> None:
+    """Fail loudly when |A| exceeds the fp8 storage range.
+
+    fp8 overflow does NOT saturate cleanly (e4m3 has no inf: values past
+    ~±448 convert to NaN) — a silent NaN at ingest surfaces as a confusing
+    diverged-fit error later. Shared by as_coupled and the sharded runners
+    (run_sharded / run_grid), which build their fp8 shards directly.
+    """
+    fmax = float(jnp.finfo(dtype).max)
+    amax = float(abs(A).max() if not sp.issparse(A)
+                 else (abs(A.data).max() if A.nnz else 0.0))
+    if amax > fmax:
+        raise ValueError(
+            f"data max |x| = {amax:.4g} exceeds {jnp.dtype(dtype).name}"
+            f"'s range (±{fmax:.0f}); scale the data (e.g. X / c) or "
+            "use data_dtype='bfloat16'")
+
+
 def as_coupled(A, dtype, use_pallas: bool = False,
                sparse_mode: str = "auto",
                densify_threshold: int = DENSIFY_THRESHOLD,
                chunked_ok: bool = False) -> Coupled:
     """Convert a host matrix to device operands.
+
+    (See also check_fp8_range, shared with the sharded runners.)
 
     sparse_mode (TPU-first policy, not in the reference):
       'auto'  — densify when the dense copy AT THE STORAGE DTYPE fits the
@@ -49,19 +69,18 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     fdt = (jnp.float32 if dtype in (jnp.bfloat16,) + FP8_DTYPES
            else dtype)
     if dtype in FP8_DTYPES:
-        # fp8 overflow does NOT saturate cleanly (e4m3 has no inf: values
-        # past ~±448 convert to NaN) — a silent NaN here surfaces as a
-        # confusing diverged-fit error later. Fail loudly at ingest.
-        fmax = float(jnp.finfo(dtype).max)
-        amax = float(abs(A).max() if not sp.issparse(A)
-                     else (abs(A.data).max() if A.nnz else 0.0))
-        if amax > fmax:
-            raise ValueError(
-                f"data max |x| = {amax:.4g} exceeds {jnp.dtype(dtype).name}"
-                f"'s range (±{fmax:.0f}); scale the data (e.g. X / c) or "
-                "use data_dtype='bfloat16'")
+        check_fp8_range(A, dtype)
 
     def _dense_coupled(Ah):
+        if dtype in FP8_DTYPES:
+            # loss convention for fp8: norms of the STORED (quantized)
+            # values. fp8 quantization error is ~2⁻³ relative, so
+            # unquantized norms would bias the factored-identity loss by
+            # ~0.5% against the residual the solver actually fits (and
+            # against _linear_term's small-size direct path). bf16 keeps
+            # the long-standing unquantized-norms convention — its bias
+            # is negligible (ops/losses.py _linear_term).
+            Ah = np.asarray(Ah).astype(dtype).astype(np.float64)
         sq = Ah.astype(np.float64) ** 2
         return Coupled(
             jnp.asarray(Ah, dtype=dtype),
@@ -124,7 +143,13 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         # one-time scatter compiles to a single XLA scatter-add.
         coo = A.tocoo()
         coo.sum_duplicates()
-        sq64 = coo.data.astype(np.float64) ** 2
+        if dtype in FP8_DTYPES:
+            # quantized-norms convention (see _dense_coupled); the f32
+            # detour mirrors the device scatter's f32→fp8 convert below
+            sq64 = (coo.data.astype(np.float32).astype(dtype)
+                    .astype(np.float64) ** 2)
+        else:
+            sq64 = coo.data.astype(np.float64) ** 2
         n, m = A.shape
         row_sq = np.zeros(n)
         np.add.at(row_sq, coo.row, sq64)

@@ -96,18 +96,78 @@ class TestEstimatorFp8:
             CMF(n_components=4, data_dtype="fp8", sparse_mode="csr",
                 max_iter=2).fit(X, Y)
 
-    def test_fp8_rejected_for_sharded(self, rng):
-        X, Y = make_problem(rng)
-        with pytest.raises(ValueError, match="n_shards"):
-            CMF(n_components=4, data_dtype="fp8", n_shards=2,
-                max_iter=2).fit(X, Y)
-
     def test_fp8_auto_densify_ok(self, rng):
         # sparse input below the densify threshold is fine: it lands dense
         X, Y = make_problem(rng, sparse=True)
         m = CMF(n_components=4, data_dtype="fp8", sparse_mode="auto",
                 max_iter=5, tol=0.0, random_state=0).fit(X, Y)
         assert m.loss_history_[-1] < m.loss_history_[0]
+
+
+class TestFp8Sharded:
+    """fp8 data shards on every layout: each chip stores its dense X
+    shard/cell at 1 byte/elt (host-densified, converted host-side);
+    Y stays bf16; factors/masks/norms stay f32 — the same contract as
+    the single-chip fp8 path, so the two fits quantize identically and
+    differ only in f32 summation order."""
+
+    def _factors(self, rng, n, m, r, k=4):
+        return (np.abs(rng.randn(n, k)), np.abs(rng.randn(m, k)),
+                np.abs(rng.randn(r, k)))
+
+    @pytest.mark.parametrize("layout,shards", [
+        ("rows", 8), ("cols", 8), ("grid", (2, 4))])
+    def test_mu_matches_single_chip_fp8(self, rng, layout, shards):
+        X, Y = make_problem(rng, n=64, m=48)
+        U0, V0, Z0 = self._factors(rng, 64, 48, Y.shape[1])
+        kw = dict(n_components=4, solver="mu", data_dtype="fp8",
+                  max_iter=15, tol=0.0, random_state=0)
+        m1 = CMF(**kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(n_shards=shards, shard_layout=layout, **kw).fit(
+            X, Y, U=U0, V=V0, Z=Z0)
+        assert ms.reconstruction_err_ == pytest.approx(
+            m1.reconstruction_err_, rel=2e-3)
+        assert np.allclose(ms.U_, m1.U_, rtol=2e-2, atol=1e-4)
+
+    def test_newton_sigmoid_y_sharded_fp8(self, rng):
+        X, Y = make_problem(rng, n=64, m=48, binary_y=True)
+        m = CMF(n_components=4, solver="newton", y_link="sigmoid",
+                data_dtype="fp8", n_shards=8, max_iter=6, tol=0.0,
+                random_state=0).fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0]
+        assert np.all(np.isfinite(m.U_))
+
+    def test_sparse_auto_densifies_per_shard(self, rng):
+        # below the per-shard threshold a sparse X lands as dense fp8
+        # shards (host densify + 1-byte upload), mirroring single-chip
+        X, Y = make_problem(rng, sparse=True)
+        m = CMF(n_components=4, data_dtype="fp8", sparse_mode="auto",
+                n_shards=8, max_iter=5, tol=0.0, random_state=0).fit(X, Y)
+        assert m.loss_history_[-1] < m.loss_history_[0]
+
+    def test_sparse_csr_sharded_raises(self, rng):
+        X, Y = make_problem(rng, sparse=True)
+        with pytest.raises(ValueError, match="dense device"):
+            CMF(n_components=4, data_dtype="fp8", sparse_mode="csr",
+                n_shards=8, max_iter=2).fit(X, Y)
+
+    def test_range_guard_sharded(self, rng):
+        X, Y = make_problem(rng, n=64, m=48)
+        X = X.copy()
+        X[3, 4] = 1000.0  # past e4m3's ~±448 range: converts to NaN
+        with pytest.raises(ValueError, match="range"):
+            CMF(n_components=4, data_dtype="fp8", n_shards=8,
+                max_iter=2).fit(X, Y)
+
+    def test_sharded_transform_matches_single(self, rng):
+        X, Y = make_problem(rng, n=64, m=48)
+        m = CMF(n_components=4, data_dtype="fp8", max_iter=10, tol=0.0,
+                random_state=0).fit(X, Y)
+        Xn = np.abs(rng.randn(24, 48))
+        U_single = m.transform(Xn)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn)
+        assert np.allclose(U_single, U_sharded, rtol=1e-3, atol=1e-5)
 
 
 class TestFp8Range:

@@ -749,13 +749,18 @@ class TestShardedTransform:
         U_sharded = m.transform(Xn, U=U0)
         assert np.allclose(U_single, U_sharded, rtol=1e-8, atol=1e-10)
 
-    def test_fp8_sharded_transform_raises(self, rng):
+    def test_fp8_sharded_transform_runs(self, rng):
+        # fp8 shards are supported on the fold-in path too (rows layout,
+        # dense new rows at 1 byte/elt); parity vs single-chip fp8 is in
+        # tests/test_fp8.py::TestFp8Sharded
         m = self._fitted(rng)
-        m.n_shards = 8
         m.dtype = "float32"
         m.data_dtype = "fp8"
-        with pytest.raises(ValueError, match="fp8"):
-            m.transform(np.abs(rng.randn(24, 32)))
+        Xn = np.abs(rng.randn(24, 32))
+        U_single = m.transform(Xn)
+        m.n_shards = 8
+        U_sharded = m.transform(Xn)
+        assert np.allclose(U_single, U_sharded, rtol=1e-3, atol=1e-5)
 
 
 class TestGridLayout:
