@@ -46,6 +46,13 @@ def draw_case(rng: np.random.RandomState) -> dict:
                 smode = "chunked"
         elif rng.rand() < 0.3:
             sr = 0.5
+            if sparse:
+                # exercise the masked-sampling storage paths (tiny
+                # 'auto' problems densify, which would test the dense
+                # path only); sharded chunked streaming is full-batch-
+                # only, so sharded draws pin CSR
+                smode = "csr" if lay != "none" else str(
+                    rng.choice(["csr", "chunked"]))
     Xd = np.abs(rng.randn(n, m))
     if xl == "sigmoid":
         Xd = (Xd > np.median(Xd)).astype(float)

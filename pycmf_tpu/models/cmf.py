@@ -304,15 +304,20 @@ class CMF(BaseEstimator, TransformerMixin):
         return self.sparse_mode
 
     def _chunked_ok(self) -> bool:
-        """Streaming chunked-COO X works for MU and for full-batch
-        Newton on every layout — linear links through the streamed term
-        passes, sigmoid links through the per-chunk streamed predictions
+        """Streaming chunked-COO X works for MU and for Newton on every
+        layout — linear links through the streamed term passes, sigmoid
+        links through the per-chunk streamed predictions
         (solvers/newton_chunked.py: row-local update chunks, rowwise and
         colwise accumulated terms, whichever orientation each layout's
-        update needs). Sampled X needs dense columns."""
+        update needs). Stochastic Newton (sg_sample_ratio < 1) streams
+        single-chip via masked sampling (solvers/newton.sample_mask);
+        the sharded runners' streamed paths are still full-batch."""
         if self.solver == "mu":
             return True
-        return self.sg_sample_ratio >= 1.0
+        ns = self._resolve_n_shards()
+        if ns is not None and ns > 1:
+            return self.sg_sample_ratio >= 1.0
+        return True
 
     def _stays_sparse(self, A) -> bool:
         """Will this host matrix remain CSR/chunked on device (i.e. NOT a
@@ -366,9 +371,10 @@ class CMF(BaseEstimator, TransformerMixin):
         if self.sparse_mode == "chunked":
             if self.solver == "newton" and not self._chunked_ok():
                 raise ValueError(
-                    "sparse_mode='chunked' supports Newton only with "
-                    "sg_sample_ratio=1.0 (sampling needs dense columns); "
-                    "use sparse_mode='csr'/'dense'")
+                    "sparse_mode='chunked' supports sharded Newton only "
+                    "with sg_sample_ratio=1.0 (the sharded streamed "
+                    "passes are full-batch); drop n_shards or use "
+                    "sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
                     and self.shard_layout not in ("rows", "cols", "grid"):
@@ -403,17 +409,11 @@ class CMF(BaseEstimator, TransformerMixin):
             if sharded and Y is not None and sp.issparse(Y) \
                     and self.y_link == "sigmoid":
                 Y = np.asarray(Y.todense())
-            if self.sg_sample_ratio < 1.0:
-                for nm, A, link in (("X", X, self.x_link),
-                                    ("Y", Y, self.y_link)):
-                    if A is None or link == "sigmoid":
-                        continue
-                    if self._stays_sparse(A):
-                        raise ValueError(
-                            f"sg_sample_ratio < 1 cannot subsample a "
-                            f"linear-link {nm} kept in CSR form; use "
-                            "sparse_mode='dense' (or 'auto' below the "
-                            "densify threshold) or sg_sample_ratio=1.0")
+            # sg_sample_ratio < 1 on CSR/chunked matrices runs via masked
+            # sampling (solvers/newton.sample_mask — the same draw as the
+            # dense path's gather, entering as a 0/1 mask); no validation
+            # restriction. The sharded STREAMED (chunked) passes are the
+            # one full-batch-only surface, guarded by _chunked_ok above.
         return X, Y
 
     def _run(self, Xc, Yc, U0, V0, Z0, cfg, rng):

@@ -255,6 +255,44 @@ def chunked_spmm_t(X: ChunkedCoo, M: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def chunked_masked_row_sq(X: ChunkedCoo, col_mask: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Per-row Σⱼ maskⱼ·xᵢⱼ² → (n,) — the stochastic-Newton column
+    subsample's row norms (sampling = masking for unrescaled sums),
+    accumulated per nonzero (no chunk densify needed; the padding
+    entries' value 0 lands on row 0 harmlessly). Squares at the mask's
+    (factor) precision — bf16-stored data does not quantize the norm."""
+
+    def body(_, inp):
+        dv, cv, rv = inp
+        d = dv.astype(col_mask.dtype)
+        seg = jnp.zeros((X.chunk_rows,), col_mask.dtype)
+        return None, seg.at[rv].add(d * d * col_mask[cv])
+
+    _, ys = jax.lax.scan(body, None, (X.data, X.cols, X.rows))
+    return ys.reshape(X.n_pad)[: X.shape[0]]
+
+
+def chunked_masked_col_sq(X: ChunkedCoo, row_mask: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Per-column Σᵢ maskᵢ·xᵢⱼ² → (m,) for a (n,) row mask — the V-side
+    stochastic-Newton subsample (the term's q axis is X's ROW axis).
+    Padding tail rows hold no nonzeros, so only the given mask matters."""
+    n, m = X.shape
+    rm = row_mask.astype(row_mask.dtype)
+    rm = jnp.pad(rm, (0, X.n_pad - n)) if n != X.n_pad else rm
+    rm = rm.reshape(X.n_chunks, X.chunk_rows)
+
+    def body(acc, inp):
+        dv, cv, rv, rmc = inp
+        d = dv.astype(row_mask.dtype)
+        return acc.at[cv].add(d * d * rmc[rv]), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((m,), row_mask.dtype),
+                          (X.data, X.cols, X.rows, rm))
+    return acc
+
+
 def chunked_inner(X: ChunkedCoo, M: jnp.ndarray, B: jnp.ndarray):
     """⟨X, M Bᵀ⟩ = Σ((X @ B) ⊙ M) — streamed, scalar out."""
     k = B.shape[1]

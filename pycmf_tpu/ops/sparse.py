@@ -177,6 +177,20 @@ def row_sq_norms(A: CsrMatrix) -> jnp.ndarray:
     )
 
 
+def masked_row_sq_norms(A: CsrMatrix, col_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-row Σⱼ maskⱼ·aᵢⱼ² → (p,) at the mask's (factor) precision.
+
+    The stochastic-Newton column subsample enters the per-row line-search
+    objective as a masked row norm (solvers/newton.py: sampling = masking
+    for sums without rescaling); recomputed per iteration, so it squares
+    at the factor dtype even when the data is stored bf16."""
+    d = A.data.astype(col_mask.dtype)
+    return jax.ops.segment_sum(
+        d * d * col_mask[A.indices], A.row_ids, num_segments=A.shape[0],
+        indices_are_sorted=True,
+    )
+
+
 def generic_matmul(A, B: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """A @ B where A is dense or CsrMatrix."""
     if is_sparse(A):

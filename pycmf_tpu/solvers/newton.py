@@ -100,18 +100,74 @@ def _sample_columns(rng, D, B, mask, ratio: float):
     return Ds, Bs, ms
 
 
+def sample_mask(rng, q: int, ratio: float, dtype):
+    """The SAME without-replacement draw as _sample_columns, as a (q,)
+    0/1 mask (None when the draw would be the full set).
+
+    Sampling = masking: ``sg_sample_ratio`` enters g, H and φ as plain
+    sums over the drawn columns with NO rescaling (module docstring), so
+    zeroing the complementary columns reproduces the gathered
+    computation exactly — which is how CSR/chunked terms, whose columns
+    cannot be gathered on device, run stochastic Newton: the mask folds
+    into B (linear: B·mask, masked row norms) or into the prediction
+    weights (sigmoid: the existing padding-mask machinery)."""
+    s = max(1, int(-(-ratio * q // 1)))  # ceil, static
+    if s >= q:
+        return None
+    idx = jax.random.choice(rng, q, shape=(s,), replace=False)
+    return jnp.zeros((q,), dtype).at[idx].set(1)
+
+
 def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
                      distributed: bool, tiled=None, row_sq=None,
                      use_pallas: bool = False, db=None, btb=None):
     """Return (G_term (p,k), H_shared (k,k) | None, H_rows (p,k,k) | None,
     line-search ctx) for one coupled term."""
-    from ..ops.chunked import chunked_spmm, is_chunked
+    from ..ops.chunked import ChunkedT, chunked_spmm, is_chunked
 
     if link == LINEAR:
+        if mask is not None:
+            # Masked column subsample (sample_mask): fold the 0/1 mask
+            # into B — zeroed rows drop out of BtB and DB exactly as
+            # gathering the drawn columns would — and recompute the
+            # line-search row norms under the same mask. This is how
+            # CSR/chunked terms run stochastic Newton (their columns
+            # cannot be gathered on device).
+            from ..ops.chunked import (chunked_masked_col_sq,
+                                       chunked_masked_row_sq,
+                                       chunked_spmm_t)
+
+            mv = mask.astype(M.dtype)
+            Bm = B * mask[:, None].astype(B.dtype)
+            BtB = gram(Bm)
+            if isinstance(D, ChunkedT):
+                DB = chunked_spmm_t(D.ck, Bm)
+                row_sq = chunked_masked_col_sq(D.ck, mv)
+            elif is_chunked(D):
+                DB = chunked_spmm(D, Bm)
+                row_sq = chunked_masked_row_sq(D, mv)
+            elif is_sparse(D):
+                from ..ops.sparse import masked_row_sq_norms
+
+                DB = spmm(D, Bm)
+                row_sq = masked_row_sq_norms(D, mv)
+            else:
+                DB = matmul(D, Bm)
+                Df = D.astype(M.dtype) if D.dtype != M.dtype else D
+                row_sq = jnp.matmul(Df * Df, mv,
+                                    precision=jax.lax.Precision.HIGHEST)
+            G = matmul(M, BtB) - DB
+            return G, BtB, None, _LinearCtx(DB, BtB, row_sq, distributed)
         # Zero-padded B rows (sharding) contribute 0 to BtB/DB — no mask.
         BtB = gram(B) if btb is None else btb
         if db is not None:
             DB = db
+        elif isinstance(D, ChunkedT):
+            # transposed-orientation streamed term (V's X side, sampled-
+            # invalidated caches): one Xᵀ·B accumulation pass
+            from ..ops.chunked import chunked_spmm_t
+
+            DB = chunked_spmm_t(D.ck, B)
         elif is_chunked(D):
             DB = chunked_spmm(D, B)   # streamed scatter+MXU pass
         elif is_sparse(D):
@@ -132,7 +188,7 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
             DB = matmul(D, B)
         G = matmul(M, BtB) - DB
         if row_sq is None:
-            if is_chunked(D):
+            if is_chunked(D) or isinstance(D, ChunkedT):
                 raise ValueError(
                     "chunked-COO Newton terms need precomputed row_sq "
                     "(per-nonzero norms are a fit-time constant — see "
@@ -277,19 +333,21 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
             from ..ops.chunked import ChunkedT as _CkT
             from ..ops.chunked import is_chunked as _is_ck
 
-            if is_sparse(D) or _is_ck(D) or isinstance(D, _CkT):
-                # No silent full-batch fallback: the estimator densifies
-                # sigmoid terms and rejects sampled sparse linear terms at
-                # validation; direct solver callers get the same contract.
-                raise NotImplementedError(
-                    "sg_sample_ratio < 1 requires dense term data; densify "
-                    "the CSR/chunked matrix (sparse_mode='dense') or use "
-                    "sg_sample_ratio=1.0")
             key = jax.random.fold_in(rng, t)
             if dist and axis_name is not None:
                 key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-            D, B, mask = _sample_columns(key, D, B, mask, sample_ratio)
-            tiled = row_sq = db = btb = None  # sampling invalidates caches
+            if is_sparse(D) or _is_ck(D) or isinstance(D, _CkT):
+                # Columns of on-device sparse/streamed layouts cannot be
+                # gathered — the SAME draw enters as a mask instead
+                # (sample_mask: gathered sums == masked sums exactly).
+                q = D.ck.shape[0] if isinstance(D, _CkT) else D.shape[1]
+                smask = sample_mask(key, q, sample_ratio, M.dtype)
+                if smask is not None:
+                    mask = smask if mask is None else mask * smask
+                    tiled = row_sq = db = btb = None  # caches invalidated
+            else:
+                D, B, mask = _sample_columns(key, D, B, mask, sample_ratio)
+                tiled = row_sq = db = btb = None
         G_t, H_sh_t, H_rw_t, ctx = _accumulate_term(
             M, D, B, link, hessian_form, mask, dist,
             tiled=tiled, row_sq=row_sq, use_pallas=use_pallas,
@@ -523,26 +581,31 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
 
         if cfg.update_U:
             chunked = _is_ck(X.A)
-            if chunked and cfg.sg_sample_ratio < 1.0:
-                raise NotImplementedError(
-                    "chunked-streaming X supports full-batch Newton only "
-                    "(sg_sample_ratio=1.0 — sampling needs dense "
-                    "columns); use sparse_mode='csr'/'dense'")
+            sampled = cfg.sg_sample_ratio < 1.0
             sig_chunked = chunked and cfg.x_link != LINEAR
             # the accumulator-emitting streamed pass only pays off when
-            # the V update consumes XᵀU_new/UᵀU; U-only fold-ins take the
-            # generic Term path below (no accumulator pass)
-            chunked = chunked and not sig_chunked and cfg.update_V
+            # the V update consumes XᵀU_new/UᵀU (and is full-batch — the
+            # sampled draw invalidates the accumulators); U-only
+            # fold-ins and sampled fits take the generic Term path below
+            chunked = chunked and not sig_chunked and cfg.update_V \
+                and not sampled
             if sig_chunked:
                 # row-local streamed sigmoid update: one scatter pass
                 # per iteration, line search in-chunk
                 from .newton_chunked import chunked_sigmoid_row_update
 
+                col_mask = None
+                if sampled:
+                    # the SAME draw the dense path's term 0 would make
+                    # (newton_update_factor: key = fold_in(kU, t=0))
+                    col_mask = sample_mask(
+                        jax.random.fold_in(kU, 0), X.A.shape[1],
+                        cfg.sg_sample_ratio, U.dtype)
                 U = chunked_sigmoid_row_update(
                     X.A, U, V, hyper, trials=cfg.line_search_trials,
                     non_negative=cfg.U_non_negative,
                     hessian_form=cfg.hessian_form,
-                    use_pallas=cfg.use_pallas)
+                    use_pallas=cfg.use_pallas, col_mask=col_mask)
             elif chunked or fused_newton_u_allowed(cfg, X.A, X.row_sq, U):
                 BtB, Hinv, l1, l2 = shared_gauss_hinv(V, hyper)
                 if chunked:
@@ -589,17 +652,22 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     non_negative=cfg.Z_non_negative, **common)
         if cfg.update_V:
             if _is_ck(X.A):
+                from ..ops.chunked import ChunkedT
+
                 if cfg.x_link != LINEAR:
                     # streamed sigmoid term: G/H accumulate over the
                     # forward chunks, φ streams per candidate
-                    from ..ops.chunked import ChunkedT
-
                     terms = (Term(ChunkedT(X.A), U),)
                 elif numv_x is not None:
                     # D is a placeholder: with DB/BtB given the linear-
                     # link term never reads it (_accumulate_term)
                     terms = (Term(X.A, U, None, X.row_sq_t,
                                   DB=numv_x, BtB=gram_u),)
+                elif cfg.sg_sample_ratio < 1.0:
+                    # sampled linear: the V update draws its own column
+                    # (= X-row) subsample — the transposed-orientation
+                    # streamed term builds masked DB/BtB/row norms
+                    terms = (Term(ChunkedT(X.A), U),)
                 else:
                     # V-only update (frozen U): one streamed XᵀU pass —
                     # the rows-sharded layout's chunked V-only contract

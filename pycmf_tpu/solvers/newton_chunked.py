@@ -55,7 +55,7 @@ def _sigmoid_parts(Xc, Mc, B, hessian_form: str):
 def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
                                trials: int, non_negative: bool,
                                hessian_form: str, use_pallas: bool,
-                               row_mask=None):
+                               row_mask=None, col_mask=None):
     """Row-local streamed Newton update of M (n, k) against X ≈ σ(M Bᵀ).
 
     One lax.scan over the chunks; each body densifies its chunk once and
@@ -63,6 +63,11 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
     solve via _solve_direction, masked line search) — the dense sigmoid
     path's math verbatim, at chunk granularity. Padding rows come out as
     exact zeros (their singular H may solve to NaN, harmlessly row-local).
+
+    col_mask: optional (m,) 0/1 mask — the stochastic-Newton column
+    subsample (solvers/newton.sample_mask: masked sums == the dense
+    path's gathered sums), applied to G/H weights and the line-search
+    objective exactly as the dense masked sigmoid term applies it.
     """
     from .newton import _solve_direction
 
@@ -85,6 +90,9 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
         dv, cv, rv, mc, vc = inp
         Xc = _densify_chunk(X, dv, cv, rv)
         Rfp, W = _sigmoid_parts(Xc, mc, B, hessian_form)
+        if col_mask is not None:
+            Rfp = Rfp * col_mask[None, :]
+            W = W * col_mask[None, :]
         G = matmul(Rfp, B) + l1 * jnp.sign(mc) + l2 * mc
         H_rows = jnp.einsum("pq,qk,ql->pkl", W, B, B,
                             precision=jax.lax.Precision.HIGHEST)
@@ -92,6 +100,8 @@ def chunked_sigmoid_row_update(X: ChunkedCoo, M, B, hyper, *,
 
         def phi(Mc):
             r = Xc.astype(Mc.dtype) - jax.nn.sigmoid(matmul(Mc, B.T))
+            if col_mask is not None:
+                r = r * col_mask[None, :]
             return (l1 * jnp.sum(jnp.abs(Mc), axis=1)
                     + 0.5 * l2 * jnp.sum(Mc * Mc, axis=1)
                     + 0.5 * jnp.sum(r * r, axis=1))

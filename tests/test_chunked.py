@@ -234,10 +234,35 @@ class TestChunkedNewton:
         m.fit(Xs, None, U=U0, V=V0)
         assert (m.U_ >= 0).all() and (m.V_ >= 0).all()
 
-    def test_sampled_chunked_raises(self, rng, Xs):
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(n_components=5, solver="newton", sparse_mode="chunked",
-                sg_sample_ratio=0.5).fit(Xs)
+    def test_sampled_chunked_matches_dense_sampled(self, rng, Xs):
+        """sg_sample_ratio < 1 streams via masked sampling
+        (solvers/newton.sample_mask): the chunked fit must reproduce the
+        dense sampled fit exactly — same draw, gathered sums == masked
+        sums."""
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.5)
+        md = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0,
+                                                  Z=Z0)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(mc.V_, md.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(mc.loss_history_, md.loss_history_,
+                                   rtol=1e-9)
+
+    def test_sampled_csr_matches_dense_sampled(self, rng, Xs):
+        """CSR terms run stochastic Newton through the same masked draw
+        (masked spmm numerators + masked row norms)."""
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.5)
+        md = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="csr", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        np.testing.assert_allclose(ms.U_, md.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ms.loss_history_, md.loss_history_,
+                                   rtol=1e-9)
 
     def test_negative_data_allowed(self, rng):
         """Newton accepts negative X — the chunked layout must too."""
@@ -517,11 +542,19 @@ class TestChunkedSigmoidNewton:
                         chunked_ok=True, densify_threshold=64)
         assert is_chunked(Xc.A)
 
-    def test_sampled_raises(self, rng):
-        Xs, Y, _, _, _ = self._problem(rng)
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(**self._base(sparse_mode="chunked",
-                             sg_sample_ratio=0.5)).fit(Xs, Y)
+    def test_sampled_matches_dense_sampled(self, rng):
+        """Streamed sigmoid Newton under sg_sample_ratio < 1: the
+        per-chunk masked draw (solvers/newton.sample_mask) reproduces
+        the dense path's gathered subsample exactly."""
+        Xs, Y, U0, V0, Z0 = self._problem(rng)
+        base = self._base(sg_sample_ratio=0.5)
+        d = CMF(sparse_mode="dense", **base).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        c = CMF(sparse_mode="chunked", **base).fit(Xs, Y, U=U0, V=V0,
+                                                   Z=Z0)
+        np.testing.assert_allclose(c.U_, d.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(c.V_, d.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(c.loss_history_, d.loss_history_,
+                                   rtol=1e-9)
 
     def test_sharded_cols_matches_dense(self, rng):
         """Chunked sigmoid in the COLS layout: U's rowwise (G, H, φ)

@@ -681,6 +681,32 @@ class TestShardedAutoDensify:
         assert np.allclose(m1.V_, m2.V_, rtol=1e-8, atol=1e-10)
 
 
+class TestShardedSampledSparse:
+    """Stochastic Newton (sg_sample_ratio < 1) on sharded CSR storage:
+    each shard's masked draw (solvers/newton.sample_mask, axis-index
+    folded) must reproduce the DENSE-sharded sampled fit exactly —
+    gathered sums == masked sums, so the only difference is storage."""
+
+    def _fits(self, rng, layout, n=67, m=40):
+        X, Y = make_problem(rng, n=n, m=m, sparse=True)
+        U0 = np.abs(rng.randn(n, 4))
+        V0 = np.abs(rng.randn(m, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=6, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.5,
+                  n_shards=8, shard_layout=layout)
+        md = CMF(sparse_mode="dense", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        ms = CMF(sparse_mode="csr", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        return md, ms
+
+    @pytest.mark.parametrize("layout", ["rows", "cols"])
+    def test_csr_sampled_matches_dense_sampled(self, rng, layout):
+        md, ms = self._fits(rng, layout)
+        assert np.allclose(ms.U_, md.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(ms.V_, md.V_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(ms.loss_history_, md.loss_history_, rtol=1e-9)
+
+
 class TestNShardsAll:
     def test_minus_one_uses_all_devices(self, rng):
         X, Y = make_problem(rng, n=67, m=40)
@@ -1018,19 +1044,23 @@ class TestGridLayout:
                 sparse_mode="chunked", n_shards=(2, 4),
                 shard_layout="grid", dtype="float64").fit(Xs, Y)
 
-    def test_grid_sampled_newton_csr_cells_raise_cleanly(self, rng,
-                                                         monkeypatch):
-        """Over-threshold CSR cells + sg_sample_ratio < 1: the estimator
-        raises the friendly ValueError instead of the solver's
-        NotImplementedError at trace time."""
+    def test_grid_sampled_newton_csr_cells_match_dense_cells(
+            self, rng, monkeypatch):
+        """Over-threshold CSR cells + sg_sample_ratio < 1 run via masked
+        sampling (solvers/newton.sample_mask) — the grid-CSR trajectory
+        must equal the grid-DENSE trajectory (same per-cell draws,
+        gathered sums == masked sums)."""
         import pycmf_tpu.utils.validation as val
 
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                  n_shards=(2, 4), shard_layout="grid", max_iter=6,
+                  tol=0.0, dtype="float64", random_state=0)
+        md = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
         monkeypatch.setattr(val, "DENSIFY_THRESHOLD", 64)
-        Xs, Y, _, _, _ = self._sparse_problem(rng)
-        with pytest.raises(ValueError, match="sg_sample_ratio"):
-            CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
-                n_shards=(2, 4), shard_layout="grid",
-                dtype="float64").fit(Xs, Y)
+        ms = CMF(**kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(ms.U_, md.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(ms.loss_history_, md.loss_history_, rtol=1e-9)
 
 
 class TestGridBell:
