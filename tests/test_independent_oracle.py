@@ -109,6 +109,59 @@ def _iterate_factor(M, terms, links, hyper: Hyper, iters: int,
     return M
 
 
+class TestMUSharedVStationarity:
+    """The shared-V MU generalization validated by autodiff: MU fixed
+    points with strictly positive entries are stationary points of the
+    FULL coupled objective (for M_ij > 0 the update ratio num/denom = 1
+    means denom − num = ∂L/∂M_ij = 0). The degenerate no-Y case already
+    matches sklearn-NMF to 1e-15 (test_mu.py); this pins the Y-coupling
+    terms — the one piece of MU math that previously rested solely on
+    the in-repo NumPy oracle (PINNED_ASSUMPTIONS.md 'Independent
+    evidence')."""
+
+    def test_mu_fixed_point_is_stationary(self, rng):
+        from pycmf_tpu import CMF
+
+        n, m, q, k = 24, 18, 7, 3
+        X = jnp.asarray(np.abs(rng.rand(n, m)) + 0.05)
+        Y = jnp.asarray(np.abs(rng.rand(m, q)) + 0.05)
+        alpha, l1r = 0.03, 0.0  # smooth penalty only (l1 kinks at 0)
+
+        est = CMF(n_components=k, solver="mu", alpha=alpha, l1_ratio=l1r,
+                  max_iter=20000, tol=1e-14, eps=0.0, dtype="float64",
+                  random_state=0)
+        U, V, Z = est.fit_transform(np.asarray(X), np.asarray(Y))
+
+        l2 = alpha * (1.0 - l1r)
+
+        def L(U, V, Z):
+            rx = X - U @ V.T
+            ry = Y - V @ Z.T
+            pen = 0.5 * l2 * (jnp.sum(U * U) + jnp.sum(V * V)
+                              + jnp.sum(Z * Z))
+            return 0.5 * jnp.sum(rx * rx) + 0.5 * jnp.sum(ry * ry) + pen
+
+        gU, gV, gZ = jax.grad(L, argnums=(0, 1, 2))(
+            jnp.asarray(U), jnp.asarray(V), jnp.asarray(Z))
+        scale = float(L(jnp.asarray(U), jnp.asarray(V), jnp.asarray(Z)))
+        for M, g, name in ((U, gU, "U"), (V, gV, "V"), (Z, gZ, "Z")):
+            free = np.asarray(M) > 1e-8
+            if not free.any():
+                continue
+            gmax = float(np.abs(np.asarray(g)[free]).max())
+            assert gmax < 5e-6 * max(scale, 1.0), (
+                f"{name}: max free-entry gradient {gmax:.3e} "
+                f"(loss scale {scale:.3e}) — MU fixed point is not a "
+                "stationary point of the coupled objective")
+            # entries pinned at 0 must satisfy the KKT sign condition
+            pinned = ~free
+            if pinned.any():
+                gmin = float(np.asarray(g)[pinned].min())
+                assert gmin > -5e-6 * max(scale, 1.0), (
+                    f"{name}: negative gradient {gmin:.3e} at a zero "
+                    "entry — KKT violated")
+
+
 class TestSubproblemFixedPoint:
     """Iterated row-wise Newton must land on independently-computed
     minimizers of the (V,Z)-frozen subproblem."""
