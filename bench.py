@@ -17,11 +17,16 @@ artifact of this container's tunneled device link (~MB/s), not of the
 framework. The TPU side tries data_dtype float32 and bfloat16 and reports
 the fastest variant passing the quality guard.
 
-Repeat protocol (round 3): every CPU baseline is timed 3x (min reported,
-all logged) and every TPU fit 2x after warmup — host-load drift on either
+Repeat protocol (round 4): every CPU baseline is timed 5x (min reported,
+all logged) and every TPU fit 3x after warmup — host-load drift on either
 side must not be able to sink or inflate a recorded round (round 1
-recorded 49.87x off a single noisy draw). Per-solver speedups ship in the
-JSON alongside the geomean.
+recorded 49.87x off a single noisy draw; BASELINE.md's round-3 table
+shows the CPU draws swinging up to 3x on this 1-core VM). The BINDING
+per-solver MU number is the dtype-matched f32-baseline speedup
+(``mu_x`` = t_numpy_f32 / t_tpu): the f64 run measures NumPy's default
+dtype, not the algorithm, and ships as the side field ``mu_vs_f64_x``
+(ADVICE r03 #3 / VERDICT r03 next #1a). Per-solver ``*_pass`` flags
+record the >=50x north-star bar per solver in the JSON itself.
 
 Env: PYCMF_BENCH_SMALL=1 shrinks the problem for smoke runs.
 """
@@ -149,7 +154,7 @@ def main() -> None:
             solver_run(solver, Xc, Yc, cfg, max_iter, tol, eval_every)
             t, reps, out = timed_min(
                 lambda: solver_run(solver, Xc, Yc, cfg, max_iter, tol,
-                                   eval_every), 2)
+                                   eval_every), 3)
             n_iter, losses = out[3], out[4]
             gap = abs(losses[-1] - ref_loss) / ref_loss
             name = names[dd]
@@ -169,39 +174,40 @@ def main() -> None:
         return best
 
     speedups = {}
+    CPU_REPS = 5
 
     # ---- MU -------------------------------------------------------------
-    # f64 is the faithful baseline dtype: the reference does no dtype
-    # management, so it runs at NumPy's float64 default. The f32 run is
-    # logged as the dtype-matched comparison (the TPU side computes in
-    # f32/bf16); the headline uses f64.
-    t_np_mu, reps_mu, out = timed_min(
+    # The BINDING baseline is dtype-matched f32 (the TPU side computes in
+    # f32/bf16; the f64 run measures NumPy's default-dtype behavior —
+    # different per-iter cost AND different iteration count — and ships as
+    # a side field only).
+    t_np_mu64, reps_mu, out = timed_min(
         lambda: numpy_cmf.run_mu(
             X.astype(np.float64), Y.astype(np.float64), U0.copy(),
             V0.copy(), Z0.copy(), max_iter=MAX_ITER, tol=TOL,
-            eval_every=EVAL_EVERY), 3)
+            eval_every=EVAL_EVERY), CPU_REPS)
     it_np, hist_np = out[3], out[4]
-    log(f"numpy MU[f64]: {it_np} iters, {t_np_mu:.3f}s "
+    log(f"numpy MU[f64]: {it_np} iters, {t_np_mu64:.3f}s "
         f"(min of {[round(r, 3) for r in reps_mu]}), "
-        f"loss {hist_np[-1]:.6g}")
+        f"loss {hist_np[-1]:.6g} (side reference point)")
     t_np_mu32, reps32, out = timed_min(
         lambda: numpy_cmf.run_mu(
             X.astype(np.float32), Y.astype(np.float32),
             U0.astype(np.float32), V0.astype(np.float32),
             Z0.astype(np.float32), max_iter=MAX_ITER, tol=TOL,
-            eval_every=EVAL_EVERY), 3)
+            eval_every=EVAL_EVERY), CPU_REPS)
     it32, hist32 = out[3], out[4]
     log(f"numpy MU[f32]: {it32} iters, {t_np_mu32:.3f}s "
         f"(min of {[round(r, 3) for r in reps32]}), "
-        f"loss {hist32[-1]:.6g} (dtype-matched reference point)")
+        f"loss {hist32[-1]:.6g} (BINDING dtype-matched baseline)")
 
-    mu_vs_f32 = None
+    mu_vs_f64 = None
     cfg_mu = SolverConfig(use_pallas=(backend == "tpu"))
     best = timed_best("mu", cfg_mu, MAX_ITER, TOL, EVAL_EVERY, hist_np[-1])
     if best is not None:
-        speedups["mu"] = t_np_mu / best
-        mu_vs_f32 = t_np_mu32 / best
-        log(f"mu vs f32 baseline: {mu_vs_f32:.2f}x")
+        speedups["mu"] = t_np_mu32 / best
+        mu_vs_f64 = t_np_mu64 / best
+        log(f"mu vs f64 side baseline: {mu_vs_f64:.2f}x")
     else:
         log("MU quality guard failed for all dtypes")
 
@@ -211,7 +217,7 @@ def main() -> None:
             X.astype(np.float64), Y.astype(np.float64), U0.copy(),
             V0.copy(), Z0.copy(), max_iter=NEWTON_MAX_ITER, tol=NEWTON_TOL,
             eval_every=NEWTON_EVAL, y_link="sigmoid",
-            non_negative=(True, True, True)), 3)
+            non_negative=(True, True, True)), CPU_REPS)
     it_nn, hist_nn = out[3], out[4]
     log(f"numpy Newton: {it_nn} iters, {t_np_nt:.3f}s "
         f"(min of {[round(r, 3) for r in reps_nt]}), "
@@ -234,17 +240,24 @@ def main() -> None:
 
     log(f"speedups: { {k: round(v, 2) for k, v in speedups.items()} }")
     geo = float(np.exp(np.mean(np.log(list(speedups.values())))))
+    BAR = 50.0  # BASELINE.json north_star: >=50x per solver, single chip
     rec = {
         "metric": "20ng_mu_newton_time_to_tol_speedup_geomean",
         "value": round(geo, 3),
         "unit": "x",
         "vs_baseline": round(geo, 3),
-        # per-solver floors + repeat protocol (headline must not ride a
-        # single draw): CPU baselines are min-of-3, TPU times min-of-2
+        # mu_x is the BINDING dtype-matched (f32 baseline) speedup; the f64
+        # side number ships as mu_vs_f64_x (ADVICE r03 #3). Per-solver
+        # pass flags record the 50x bar so the artifact cannot read as a
+        # pass on the geomean alone.
         "mu_x": round(speedups.get("mu", 0.0), 2),
         "newton_x": round(speedups.get("newton", 0.0), 2),
-        "mu_vs_f32_x": round(mu_vs_f32, 2) if mu_vs_f32 else None,
-        "protocol": "cpu=min-of-3, tpu=min-of-2 (warmed)",
+        "mu_vs_f64_x": round(mu_vs_f64, 2) if mu_vs_f64 else None,
+        "mu_pass": speedups.get("mu", 0.0) >= BAR,
+        "newton_pass": speedups.get("newton", 0.0) >= BAR,
+        "corpus": source,
+        "protocol": "cpu=min-of-5, tpu=min-of-3 (warmed); "
+                    "binding mu baseline = numpy f32 (dtype-matched)",
     }
     print(json.dumps(rec))
 

@@ -250,6 +250,13 @@ def finish_device_fit(result, eval_every: int, max_iter: int):
     FloatingPointError semantics are restored for the TPU-default path.
     """
     U, V, Z, n_iter, hist = result
+    # One pipelined readback for both small results: a sequential
+    # int(n_iter) → device_get(hist) pays TWO device round-trips (~27 ms
+    # each over the tunneled link — round-3 probe A/B/C decomposition);
+    # starting both copies before either wait overlaps them into one.
+    for a in (n_iter, hist):
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
     n_iter = int(n_iter)
     hist = np.asarray(jax.device_get(hist), dtype=np.float64)
     eval_every = max(1, min(eval_every, max_iter))

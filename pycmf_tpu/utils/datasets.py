@@ -54,22 +54,56 @@ def synthetic_20ng(n_docs: int = 11314, n_terms: int = 30000,
     return X, Y
 
 
+def _fetch_20ng(download: bool):
+    from sklearn.datasets import fetch_20newsgroups
+
+    return fetch_20newsgroups(subset="train", download_if_missing=download,
+                              remove=("headers", "footers", "quotes"))
+
+
 def load_20ng(max_features: int = 30000, random_state: int = 0,
               dtype=np.float32) -> Tuple[sp.csr_matrix, np.ndarray, str]:
-    """(X term×doc CSR, Y doc×label one-hot, source) — real if cached."""
-    try:
-        from sklearn.datasets import fetch_20newsgroups
-        from sklearn.feature_extraction.text import CountVectorizer
+    """(X term×doc CSR, Y doc×label one-hot, source) — real when possible.
 
-        data = fetch_20newsgroups(subset="train", download_if_missing=False,
-                                  remove=("headers", "footers", "quotes"))
-        vec = CountVectorizer(max_features=max_features, dtype=np.float64)
-        Xdw = vec.fit_transform(data.data)          # doc × word
-        X = sp.csr_matrix(Xdw.T, dtype=dtype)       # term × doc
-        n_labels = int(np.max(data.target)) + 1
-        Y = np.zeros((X.shape[1], n_labels), dtype=dtype)
-        Y[np.arange(X.shape[1]), data.target] = 1.0
-        return X, Y, "20newsgroups (sklearn cache)"
+    Resolution order (VERDICT r03 next #6 — population day needs no code):
+    1. sklearn's on-disk 20NG cache (no network);
+    2. a live sklearn download, bounded by a 30 s socket timeout so the
+       no-network environment fails fast instead of hanging
+       (PYCMF_NO_DOWNLOAD=1 skips the attempt entirely);
+    3. the synthetic 20NG-shaped surrogate, with the fallback reason in the
+       returned source string (bench.py logs it and ships it in the JSON).
+    """
+    import os
+    import socket
+
+    try:
+        data = _fetch_20ng(download=False)
+        source = "20newsgroups (sklearn cache)"
     except Exception:
+        data = None
+        if os.environ.get("PYCMF_NO_DOWNLOAD", "0") == "1":
+            reason = "download disabled"
+        else:
+            prev = socket.getdefaulttimeout()
+            socket.setdefaulttimeout(30.0)
+            try:
+                data = _fetch_20ng(download=True)
+                source = "20newsgroups (sklearn download)"
+                reason = ""
+            except Exception as e:
+                reason = f"download failed: {type(e).__name__}"
+            finally:
+                socket.setdefaulttimeout(prev)
+    if data is None:
         X, Y = synthetic_20ng(random_state=random_state, dtype=dtype)
-        return X, Y, "synthetic 20NG-shaped surrogate (no network/cache)"
+        return X, Y, f"synthetic 20NG-shaped surrogate ({reason})"
+
+    from sklearn.feature_extraction.text import CountVectorizer
+
+    vec = CountVectorizer(max_features=max_features, dtype=np.float64)
+    Xdw = vec.fit_transform(data.data)          # doc × word
+    X = sp.csr_matrix(Xdw.T, dtype=dtype)       # term × doc
+    n_labels = int(np.max(data.target)) + 1
+    Y = np.zeros((X.shape[1], n_labels), dtype=dtype)
+    Y[np.arange(X.shape[1]), data.target] = 1.0
+    return X, Y, source

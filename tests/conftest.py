@@ -7,6 +7,10 @@ These env vars must be set before jax is imported anywhere.
 """
 import os
 
+# Never attempt the 20NG network download inside the suite — the no-network
+# environment would burn ~35 s of retries per run (bench.py still attempts).
+os.environ.setdefault("PYCMF_NO_DOWNLOAD", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
