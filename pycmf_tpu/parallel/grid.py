@@ -626,7 +626,7 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
 
     import scipy.sparse as sp
 
-    from ..solvers.common import finish_device_fit
+    from ..solvers.common import amortize_step_times, finish_device_fit
 
     r, c = grid
     if mesh is None:
@@ -692,7 +692,7 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
         U, V, Z, n_iter, losses, iters = finish_device_fit(
             out, eval_every, max_iter)
         return (U[:n], V[:m], Z, n_iter, losses, iters,
-                [_time.perf_counter() - t0])
+                amortize_step_times(_time.perf_counter() - t0, iters))
     block, loss_fn = _make_grid_block(cfg, mesh, solver, _grid_specs(ops))
     state = (ops, U_pad, V_pad, Z)
     state, n_iter, losses, iters, times = run_solver_loop(

@@ -1310,7 +1310,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
     """
     import time as _time
 
-    from ..solvers.common import finish_device_fit
+    from ..solvers.common import amortize_step_times, finish_device_fit
 
     if mesh is None:
         mesh = make_mesh(n_shards)
@@ -1367,7 +1367,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
             U, V, Z, n_iter, losses, iters = finish_device_fit(
                 out, eval_every, max_iter)
             return (U[:n], V, Z, n_iter, losses, iters,
-                    [_time.perf_counter() - t0])
+                    amortize_step_times(_time.perf_counter() - t0, iters))
         block, loss_fn = _make_rows_block(cfg, mesh, solver,
                                           _shard_specs_rows(ops), aux)
         state = (ops, U_pad, V, Z)
@@ -1397,7 +1397,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
             U, V, Z, n_iter, losses, iters = finish_device_fit(
                 out, eval_every, max_iter)
             return (U, V[:m], Z, n_iter, losses, iters,
-                    [_time.perf_counter() - t0])
+                    amortize_step_times(_time.perf_counter() - t0, iters))
         block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
         state = (ops, U, V_pad, Z)
         state, n_iter, losses, iters, times = run_solver_loop(

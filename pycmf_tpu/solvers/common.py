@@ -278,6 +278,25 @@ def finish_device_fit(result, eval_every: int, max_iter: int):
     return U, V, Z, n_iter, losses, iters
 
 
+def amortize_step_times(wall: float, loss_iters) -> List[float]:
+    """Per-eval-block times for the device-resident fit (§5 observability).
+
+    The device loop runs the WHOLE tol-checked fit in one dispatch, so only
+    the total wall time is host-observable. Each executed block is the same
+    traced work (eval_every iterations + one loss eval; the remainder block
+    pro-rated), so the contractual per-block vector is the total amortized
+    proportionally to each block's iteration span. Restores
+    ``len(step_times_) == len(loss_history_) - 1`` on loop='device';
+    entries are amortized shares of one measured dispatch, not individually
+    timed blocks (the host loop gives individually timed blocks).
+    """
+    spans = np.diff(np.asarray(loss_iters, dtype=np.float64))
+    total = float(spans.sum())
+    if spans.size == 0 or total <= 0:
+        return [wall] if spans.size else []
+    return [wall * float(s) / total for s in spans]
+
+
 def run_solver_loop(block_fn, state, hyper, rng, *, max_iter: int, tol: float,
                     eval_every: int, verbose: int = 0,
                     initial_loss_fn=None) -> tuple:

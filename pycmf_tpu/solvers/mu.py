@@ -271,7 +271,7 @@ def run_mu(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     per fit — the TPU-first default through the estimator)."""
     import time as _time
 
-    from .common import finish_device_fit
+    from .common import amortize_step_times, finish_device_fit
 
     aux = _aux_ok(cfg, X, U0)
     if loop == "device":
@@ -283,7 +283,7 @@ def run_mu(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
         U, V, Z, n_iter, losses, iters = finish_device_fit(
             out, eval_every, max_iter)
         return U, V, Z, n_iter, losses, iters, \
-            [_time.perf_counter() - t0]
+            amortize_step_times(_time.perf_counter() - t0, iters)
 
     block = _make_block(cfg, aux)
     loss_fn = _make_loss(cfg)

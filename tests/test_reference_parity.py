@@ -18,7 +18,9 @@ import sys
 import numpy as np
 import pytest
 
-REFERENCE_ROOT = "/root/reference"
+# Overridable so `python -m pycmf_tpu.parity_check` (and its mocked-mini-
+# reference test) can point the same machinery at another tree.
+REFERENCE_ROOT = os.environ.get("PYCMF_REFERENCE_ROOT", "/root/reference")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
