@@ -309,14 +309,10 @@ class CMF(BaseEstimator, TransformerMixin):
         links through the per-chunk streamed predictions
         (solvers/newton_chunked.py: row-local update chunks, rowwise and
         colwise accumulated terms, whichever orientation each layout's
-        update needs). Stochastic Newton (sg_sample_ratio < 1) streams
-        single-chip via masked sampling (solvers/newton.sample_mask);
-        the sharded runners' streamed paths are still full-batch."""
-        if self.solver == "mu":
-            return True
-        ns = self._resolve_n_shards()
-        if ns is not None and ns > 1:
-            return self.sg_sample_ratio >= 1.0
+        update needs). Stochastic Newton (sg_sample_ratio < 1) enters
+        every streamed pass — single-chip AND the sharded rows/cols/grid
+        layouts — as a column mask (solvers/newton.sample_mask: the same
+        per-shard draw as the dense path's gather)."""
         return True
 
     def _stays_sparse(self, A) -> bool:
@@ -369,12 +365,6 @@ class CMF(BaseEstimator, TransformerMixin):
         if Y is not None:
             Y = check_matrix(Y, "Y", require_non_negative=mu)
         if self.sparse_mode == "chunked":
-            if self.solver == "newton" and not self._chunked_ok():
-                raise ValueError(
-                    "sparse_mode='chunked' supports sharded Newton only "
-                    "with sg_sample_ratio=1.0 (the sharded streamed "
-                    "passes are full-batch); drop n_shards or use "
-                    "sparse_mode='csr'/'dense'")
             ns = self._resolve_n_shards()
             if ns is not None and ns > 1 \
                     and self.shard_layout not in ("rows", "cols", "grid"):
@@ -411,9 +401,9 @@ class CMF(BaseEstimator, TransformerMixin):
                 Y = np.asarray(Y.todense())
             # sg_sample_ratio < 1 on CSR/chunked matrices runs via masked
             # sampling (solvers/newton.sample_mask — the same draw as the
-            # dense path's gather, entering as a 0/1 mask); no validation
-            # restriction. The sharded STREAMED (chunked) passes are the
-            # one full-batch-only surface, guarded by _chunked_ok above.
+            # dense path's gather, entering as a 0/1 mask) on every
+            # layout, including the sharded streamed passes; no
+            # validation restriction.
         return X, Y
 
     def _run(self, Xc, Yc, U0, V0, Z0, cfg, rng):

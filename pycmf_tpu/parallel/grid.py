@@ -428,7 +428,8 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                 yterm=Term(Yl, Z) if cfg.has_Y else None,
                 y_link=cfg.y_link)
             return U, V, Z
-        if is_chunked(Xl) and cfg.x_link == LINEAR:
+        if is_chunked(Xl) and cfg.x_link == LINEAR \
+                and cfg.sg_sample_ratio >= 1.0:
             # same contract as the rows layout's chunked V branch: local
             # XᵀU / UᵀU partials stream over the FORWARD layout (no
             # transposed COO payload exists); D is a placeholder the
@@ -438,6 +439,14 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
 
             terms = (Term(Xl, U, None, ops.rsq_v[:, 0],
                           DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+        elif is_chunked(Xl) and cfg.x_link == LINEAR:
+            # sampled linear term: the ChunkedT marker lets
+            # newton_update_factor recompute the masked DB/BtB/col norms
+            # under its per-cell draw (distributed over ROW, so the key
+            # folds the ROW axis index — same schedule as dense cells)
+            from ..ops.chunked import ChunkedT
+
+            terms = (Term(ChunkedT(Xl), U, None, ops.rsq_v[:, 0]),)
         elif is_chunked(Xl):
             # sigmoid V term streamed over the forward chunks per cell
             # (ChunkedT orientation); the (G, H, φ) partials psum over
@@ -634,13 +643,11 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
     sparse_cells = "csr"
     chunk_ok = False
     if sp.issparse(X):
-        chunk_ok = solver == "mu" or cfg.sg_sample_ratio >= 1.0
+        # chunked cells serve MU and Newton alike — stochastic Newton
+        # (sg_sample_ratio < 1) enters the streamed terms as a per-cell
+        # column mask (solvers/newton.sample_mask)
+        chunk_ok = True
         if sparse_mode == "chunked":
-            if not chunk_ok:
-                raise ValueError(
-                    "sparse_mode='chunked' grid cells support MU and "
-                    "full-batch Newton only (sampling needs dense "
-                    "columns); use sparse_mode='csr'/'dense'")
             sparse_cells = "chunked"
         elif sparse_mode != "csr":
             from ..utils.validation import DENSIFY_THRESHOLD

@@ -862,11 +862,12 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
     fused = fused_newton_u_allowed(cfg, Xl, ops.row_sq, U)
     numv_x = gram_u = None
     if cfg.update_U:
-        if chunk and not chunk_full:
-            raise NotImplementedError(
-                "chunked-streaming sharded X supports full-batch Newton "
-                "only (sampling needs dense columns); use "
-                "sparse_mode='csr'/'dense'")
+        # Sampled chunked X (sg_sample_ratio < 1) falls through to the
+        # generic newton_update_factor branch below: the per-shard draw
+        # (kU folded by the axis index) enters the streamed terms as a
+        # column mask (solvers/newton.sample_mask — masked sums == the
+        # dense path's gathered sums exactly), so the trajectory matches
+        # the dense sampled sharded fit.
         if chunk_sig:
             # row-local streamed sigmoid update per shard (one scatter
             # pass, line search in-chunk); the shard's zero-padding rows
@@ -945,13 +946,18 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             terms = (Term(Xtl, U, None, ops.row_sq_t_glob,
                           DB=num_glob, BtB=gram_glob),)
             dist = (False,)
-        elif chunk_sig:
-            # streamed sigmoid X-term: per-shard (G, H_rows, φ) partials
-            # accumulate over the forward chunks and psum (the shard's
-            # padding rows ride the term's column mask below)
+        elif chunk_sig or (chunk and cfg.sg_sample_ratio < 1.0):
+            # streamed X-term in the TRANSPOSED orientation (ChunkedT):
+            # sigmoid (G, H_rows, φ) partials accumulate over the forward
+            # chunks; a sampled linear term recomputes its masked DB/BtB/
+            # col norms through the same marker (newton_update_factor's
+            # per-shard sample mask — gathered == masked sums exactly).
+            # Either way the partials psum over the row shards.
             from ..ops.chunked import ChunkedT
 
-            terms = (Term(ChunkedT(Xl), U),)
+            terms = (Term(ChunkedT(Xl), U, None,
+                          ops.row_sq_t[0] if cfg.x_link == LINEAR
+                          else None),)
             dist = (True,)
         elif chunk:
             # V-only update (e.g. frozen-U fits) on chunked X: the local
@@ -1064,12 +1070,22 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
                 y_link=cfg.y_link, row_mask=mask)
         else:
             kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
-            if chunk and cfg.x_link == LINEAR:
+            if chunk and cfg.x_link == LINEAR \
+                    and cfg.sg_sample_ratio >= 1.0:
                 # linear-link V term is fully local here (its rows see
                 # whole X columns): Xᵀ U streams over the forward chunks,
                 # and D is never read once DB/BtB/row_sq are supplied
                 terms = (Term(Xl, U, None, rsq_t,
                               DB=chunked_spmm_t(Xl, U), BtB=gram(U)),)
+            elif chunk and cfg.x_link == LINEAR:
+                # sampled linear term: the transposed-orientation marker
+                # lets newton_update_factor recompute the masked DB/BtB/
+                # col norms under its per-shard draw (kV is axis-folded
+                # above, so shards sample independently, exactly like the
+                # dense cols path)
+                from ..ops.chunked import ChunkedT
+
+                terms = (Term(ChunkedT(Xl), U, None, rsq_t),)
             elif chunk:
                 # sigmoid V term streamed over the forward chunks
                 # (transposed orientation — the ChunkedT marker); fully

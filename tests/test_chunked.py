@@ -145,12 +145,62 @@ class TestChunkedEstimator:
                 max_iter=3, random_state=0).fit(Xs, Y)
         assert np.isfinite(m.reconstruction_err_)
 
-    def test_sharded_chunked_sampled_raises(self, rng, Xs):
-        """Sampling needs dense columns in every chunked layout."""
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(n_components=5, solver="newton", sg_sample_ratio=0.5,
-                sparse_mode="chunked", n_shards=2,
-                shard_layout="cols").fit(Xs)
+    def _inits(self, rng):
+        return (np.abs(rng.randn(137, 5)), np.abs(rng.randn(90, 5)),
+                np.abs(rng.randn(6, 5)))
+
+    @pytest.mark.parametrize("layout,shards", [
+        ("rows", 4), ("cols", 4), ("grid", (2, 2))])
+    def test_sharded_chunked_sampled_matches_dense_sharded(
+            self, rng, Xs, layout, shards):
+        """Round-4 (VERDICT r03 next #3): stochastic Newton on the
+        SHARDED streamed passes — the per-shard draw enters the chunked
+        terms as a mask and must reproduce the dense sampled SHARDED fit
+        exactly (same keys, masked sums == gathered sums)."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        Y = np.abs(rng.randn(90, 6))
+        U0, V0, Z0 = self._inits(rng)
+        kw = dict(n_components=5, solver="newton", max_iter=4, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.5,
+                  n_shards=shards, shard_layout=layout)
+        md = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0,
+                                                  Z=Z0)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(mc.V_, md.V_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(mc.loss_history_, md.loss_history_,
+                                   rtol=1e-9)
+
+    @pytest.mark.parametrize("layout,shards", [
+        ("rows", 4), ("cols", 4), ("grid", (2, 2))])
+    def test_sharded_chunked_sampled_sigmoid_matches_dense(
+            self, rng, layout, shards):
+        """Sampled SIGMOID Newton on sharded chunked X: the streamed
+        sigmoid terms take the same per-shard mask."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        Xb = sp.csr_matrix(
+            (rng.rand(90, 64) > 0.8).astype(np.float64))
+        Y = np.abs(rng.randn(64, 6))
+        U0 = rng.randn(90, 5) * 0.1
+        V0 = rng.randn(64, 5) * 0.1
+        Z0 = rng.randn(6, 5) * 0.1
+        kw = dict(n_components=5, solver="newton", x_link="sigmoid",
+                  U_non_negative=False, V_non_negative=False,
+                  Z_non_negative=False, max_iter=3, tol=0.0,
+                  dtype="float64", random_state=0, sg_sample_ratio=0.5,
+                  n_shards=shards, shard_layout=layout)
+        md = CMF(sparse_mode="dense", **kw).fit(Xb, Y, U=U0, V=V0, Z=Z0)
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xb, Y, U=U0, V=V0,
+                                                  Z=Z0)
+        np.testing.assert_allclose(mc.U_, md.U_, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(mc.loss_history_, md.loss_history_,
+                                   rtol=1e-9)
 
     def test_fp8_chunked_raises(self, rng, Xs):
         from pycmf_tpu.utils.validation import as_coupled

@@ -1037,12 +1037,18 @@ class TestGridLayout:
         s = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
         assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
 
-    def test_grid_chunked_sampled_newton_raises(self, rng):
-        Xs, Y, _, _, _ = self._sparse_problem(rng)
-        with pytest.raises(ValueError, match="chunked"):
-            CMF(n_components=4, solver="newton", sg_sample_ratio=0.5,
-                sparse_mode="chunked", n_shards=(2, 4),
-                shard_layout="grid", dtype="float64").fit(Xs, Y)
+    def test_grid_chunked_sampled_newton_matches_dense(self, rng):
+        """Round-4: sampled Newton on chunked grid cells — the per-cell
+        draw enters the streamed terms as a mask and must match the
+        dense-cell sampled grid fit (same keys, masked == gathered)."""
+        Xs, Y, U0, V0, Z0 = self._sparse_problem(rng)
+        kw = dict(n_components=4, solver="newton", sg_sample_ratio=0.5,
+                  n_shards=(2, 4), shard_layout="grid", max_iter=4,
+                  tol=0.0, dtype="float64", random_state=0)
+        g = CMF(sparse_mode="chunked", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        s = CMF(sparse_mode="dense", **kw).fit(Xs, Y, U=U0, V=V0, Z=Z0)
+        assert np.allclose(g.U_, s.U_, rtol=1e-9, atol=1e-11)
+        assert np.allclose(g.loss_history_, s.loss_history_, rtol=1e-9)
 
     def test_grid_sampled_newton_csr_cells_match_dense_cells(
             self, rng, monkeypatch):
