@@ -313,9 +313,15 @@ def _grid_local_x(ops: _GridOps):
     return ops.X, ops.X.T
 
 
-def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
+def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper,
+                  with_aux: bool = False):
     """One MU iteration on local blocks (inside shard_map). Pinned
-    U → Z → V order (solvers/mu.py): V's numerator sees U_new."""
+    U → Z → V order (solvers/mu.py): V's numerator sees U_new.
+
+    with_aux: also return the LOCAL (pre-psum) X-side V pair
+    (X_cellᵀU_new, U_locᵀU_loc) — ROW-partials of (XᵀU, UᵀU). The carry
+    stays local so iterations pay nothing extra; _aux_loss_grid psums the
+    pair over ROW only at eval points (tiny vs the X pass it replaces)."""
     from ..ops.chunked import chunked_spmm, is_chunked
     from ..ops.sparse import is_sparse, spmm
 
@@ -349,29 +355,41 @@ def _mu_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yl.T, V), COL_AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps)
+    aux = None
     if cfg.update_V:
         if is_chunked(Xl):
             from ..ops.chunked import chunked_spmm_t
 
-            num = jax.lax.psum(chunked_spmm_t(Xl, U), ROW_AXIS)
+            num_loc = chunked_spmm_t(Xl, U)
         else:
-            num = jax.lax.psum(xmm(Xtl, U, Xt_bl), ROW_AXIS)
-        S = jax.lax.psum(gram(U), ROW_AXIS)
+            num_loc = xmm(Xtl, U, Xt_bl)
+        S_loc = gram(U)
+        aux = (num_loc, S_loc)                   # ROW-partials, X-side
+        num = jax.lax.psum(num_loc, ROW_AXIS)
+        S = jax.lax.psum(S_loc, ROW_AXIS)
         if cfg.has_Y:
             num = num + matmul(Yl, Z)   # Y_j rows are local — no psum
             S = S + gram(Z)
         V = mu_ratio_update(V, S, num, l1, l2, eps)
         V = jnp.where(ops.mmask[:, None] > 0.5, V, 0.0)
+    if with_aux:
+        assert aux is not None, "with_aux requires update_V"
+        return U, V, Z, aux
     return U, V, Z
 
 
 def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
-                      hyper: Hyper, rng):
+                      hyper: Hyper, rng, with_aux: bool = False):
     """One Newton iteration on the grid: U/Z psum their stacked (g, H, φ)
     over COL, V's X-side over ROW (Y-side local) — newton_update_factor's
     per-term `distributed` machinery, with column masks covering the
     padded axis for sigmoid links and partial fit-time row norms
-    completed by the φ psums."""
+    completed by the φ psums.
+
+    with_aux: also return the V update's LOCAL linear-term (DB, BtB) =
+    ROW-partials of (XᵀU_new, U_newᵀU_new) (term_cache; the distributed
+    term's ctx is pre-psum by construction) for _aux_loss_grid's
+    zero-extra-pass eval. Requires _grid_aux_ok_newton."""
     kU, kZ, kV = jax.random.split(rng, 3)
     common = dict(trials=cfg.line_search_trials,
                   hessian_form=cfg.hessian_form,
@@ -412,6 +430,7 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                 kZ, Z, ((Yl.T, V),), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, distributed=(True,),
                 masks=(ymask,), axis_name=COL_AXIS, **common)
+    aux = None
     if cfg.update_V:
         kV = jax.random.fold_in(kV, jax.lax.axis_index(COL_AXIS))
         from ..ops.chunked import is_chunked
@@ -464,10 +483,20 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             links = links + (cfg.y_link,)
             dist = dist + (False,)
             masks = masks + (None,)
-        V = newton_update_factor(
+        out = newton_update_factor(
             kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
-            distributed=dist, masks=masks, axis_name=ROW_AXIS, **common)
+            distributed=dist, masks=masks, axis_name=ROW_AXIS,
+            term_cache=0 if with_aux else None, **common)
+        if with_aux:
+            V, aux = out
+        else:
+            V = out
         V = V * ops.mmask[:, None]
+    if with_aux:
+        assert aux is not None, \
+            "with_aux requires _grid_aux_ok_newton (linear full-batch " \
+            "X term through the generic V update)"
+        return U, V, Z, aux
     return U, V, Z
 
 
@@ -535,7 +564,73 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     return loss
 
 
-def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec):
+def _aux_loss_grid(cfg: SolverConfig, ops: _GridOps):
+    """Loss from the step's LOCAL X-side V pair — no pass over X.
+
+    The aux carries ROW-partials (see _mu_grid_iter/_newton_grid_iter), so
+    iterations pay nothing; here, only at eval points, the pair psums over
+    ROW — an (m_loc, k) + (k, k) collective in place of _loss_grid's full
+    X stream — and the factored identity gives the x-term exactly as
+    _loss_grid's linear branch does (ops.a_sq is the exact fit-time norm)."""
+
+    def loss_fn(state, aux, hyper: Hyper):
+        _, __, U, V, Z = state
+        num_loc, S_loc = aux
+        num = jax.lax.psum(num_loc, ROW_AXIS)    # (m_loc, k) XᵀU block
+        S = jax.lax.psum(S_loc, ROW_AXIS)        # global UᵀU
+        gV = jax.lax.psum(gram(V), COL_AXIS)
+        inner = jax.lax.psum(jnp.sum(num * V), COL_AXIS)
+        x_term = 0.5 * (ops.a_sq - 2.0 * inner + jnp.sum(S * gV))
+        loss = x_term + jax.lax.psum(
+            penalty(U, hyper.alpha, hyper.l1_ratio), ROW_AXIS)
+        loss = loss + jax.lax.psum(
+            penalty(V, hyper.alpha, hyper.l1_ratio), COL_AXIS)
+        if cfg.has_Y:
+            Yl = ops.Y
+            Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
+            if cfg.y_link == LINEAR:
+                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
+                y_inner = jax.lax.psum(
+                    jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
+                y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                + jnp.sum(gV * gram(Z)))
+            else:
+                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                y_term = 0.5 * jax.lax.psum(
+                    jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
+            loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _grid_aux_ok(cfg: SolverConfig, ops: _GridOps, V) -> bool:
+    """Grid aux loss: same qualification rules as the 1-D layouts — both
+    U and V updating (the V step computes the pair either way), linear
+    x_link (the factored identity), and no small mixed-precision dense X
+    (identity cancellation at data precision)."""
+    from ..ops.chunked import is_chunked
+    from ..ops.sparse import is_sparse
+
+    if not (cfg.update_U and cfg.update_V and cfg.x_link == LINEAR):
+        return False
+    if is_chunked(ops.X) or is_sparse(ops.X):
+        return True
+    if ops.X.dtype != V.dtype and ops.X.size < (1 << 22):
+        return False
+    return True
+
+
+def _grid_aux_ok_newton(cfg: SolverConfig, ops: _GridOps, V) -> bool:
+    """Newton grid aux additionally needs the full-batch V update (a
+    sampled term's DB/BtB describe the subsample) — see
+    parallel/sharded._cols_aux_ok_newton."""
+    return (_grid_aux_ok(cfg, ops, V) and cfg.sg_sample_ratio >= 1.0
+            and cfg.hessian_form == "gauss")
+
+
+def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec,
+                          aux: bool = False):
     """Whole tol loop inside shard_map: every device runs the while_loop
     in lockstep, synchronized by the psums — one dispatch per fit (same
     contract as parallel/sharded._make_rows_device_fit)."""
@@ -545,18 +640,24 @@ def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec):
                 P(), P())
     out_specs = (P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
 
+    from .sharded import _aux_zero_pair
+
     def make_core(ops):
         def step_fn(_, __, U, V, Z, hyper, key=None):
             if solver == "mu":
-                return _mu_grid_iter(ops, U, V, Z, cfg, hyper)
-            return _newton_grid_iter(ops, U, V, Z, cfg, hyper, key)
+                return _mu_grid_iter(ops, U, V, Z, cfg, hyper,
+                                     with_aux=aux)
+            return _newton_grid_iter(ops, U, V, Z, cfg, hyper, key,
+                                     with_aux=aux)
 
         def loss_core(state, hyper):
             _, __, U, V, Z = state
             return _loss_grid(ops, U, V, Z, cfg, hyper)
 
-        return device_fit_core(step_fn, loss_core,
-                               carry_rng=(solver != "mu"))
+        return device_fit_core(
+            step_fn, loss_core, carry_rng=(solver != "mu"),
+            aux_loss=_aux_loss_grid(cfg, ops) if aux else None,
+            aux_init=_aux_zero_pair if aux else None)
 
     @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
     def fit(ops, U, V, Z, hyper, rng, tol, max_iter, eval_every):
@@ -572,21 +673,33 @@ def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec):
     return fit
 
 
-def _make_grid_block(cfg: SolverConfig, mesh, solver: str, ospec):
+def _make_grid_block(cfg: SolverConfig, mesh, solver: str, ospec,
+                     aux: bool = False):
+    from .sharded import _aux_zero_pair
+
     in_specs = (ospec, P(ROW_AXIS, None), P(COL_AXIS, None), P(), P(), P())
     out_specs = ((P(ROW_AXIS, None), P(COL_AXIS, None), P()), P(), P())
 
     def body(ops, U, V, Z, hyper, rng, n_steps):
         key, off = rng
 
-        def one(i, fac):
+        def one(i, carry):
+            U, V, Z, _a = carry
             if solver == "mu":
-                return _mu_grid_iter(ops, *fac, cfg, hyper)
-            return _newton_grid_iter(ops, *fac, cfg, hyper,
-                                     jax.random.fold_in(key, off + i))
+                out = _mu_grid_iter(ops, U, V, Z, cfg, hyper,
+                                    with_aux=aux)
+            else:
+                out = _newton_grid_iter(ops, U, V, Z, cfg, hyper,
+                                        jax.random.fold_in(key, off + i),
+                                        with_aux=aux)
+            return out if aux else out + (_a,)
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_grid(ops, U, V, Z, cfg, hyper)
+        U, V, Z, a = jax.lax.fori_loop(
+            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
+        if aux:
+            loss = _aux_loss_grid(cfg, ops)((ops, None, U, V, Z), a, hyper)
+        else:
+            loss = _loss_grid(ops, U, V, Z, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -690,9 +803,11 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
          else jnp.zeros((0, k), dtype=dtype))
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    aux = (_grid_aux_ok(cfg, ops, V_pad) if solver == "mu"
+           else _grid_aux_ok_newton(cfg, ops, V_pad))
     if loop == "device":
         fitf = _make_grid_device_fit(cfg, mesh, solver,
-                                     _grid_specs(ops))
+                                     _grid_specs(ops), aux)
         t0 = _time.perf_counter()
         out = fitf(ops, U_pad, V_pad, Z, hyper, rng,
                    jnp.asarray(tol, dtype), max_iter, eval_every)
@@ -700,7 +815,8 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
             out, eval_every, max_iter)
         return (U[:n], V[:m], Z, n_iter, losses, iters,
                 amortize_step_times(_time.perf_counter() - t0, iters))
-    block, loss_fn = _make_grid_block(cfg, mesh, solver, _grid_specs(ops))
+    block, loss_fn = _make_grid_block(cfg, mesh, solver, _grid_specs(ops),
+                                      aux)
     state = (ops, U_pad, V_pad, Z)
     state, n_iter, losses, iters, times = run_solver_loop(
         block, state, hyper, (rng, jnp.zeros((), jnp.int32)),

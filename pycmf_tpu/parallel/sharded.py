@@ -203,7 +203,10 @@ class _ColOperands(NamedTuple):
     row_sq_t: object = None  # (m_loc,) EXACT ‖(Xᵀ)ᵢ‖² (local Xᵀ rows are full)
 
 
-def _aux_zero_rows(U, V, Z):
+def _aux_zero_pair(U, V, Z):
+    """Zero aux pair for the factored eval loss: (XᵀU-shaped, UᵀU-shaped).
+    Inside shard_map V is the local shard on the cols layout, so the same
+    helper serves both layouts (rows: global (m,k); cols: local (m_loc,k))."""
     k = U.shape[1]
     return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
 
@@ -699,9 +702,15 @@ def _cols_local_views(ops: _ColOperands, use_pallas: bool):
     return Xl, Xtl, X_bl, Xt_bl
 
 
-def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
+def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper,
+                  with_aux: bool = False):
     """One MU iteration, cols layout: V/Y/Xᵀ sharded on m, U/Z replicated.
-    psums: X·V and VᵀV (U's terms), YᵀV (Z's term)."""
+    psums: X·V and VᵀV (U's terms), YᵀV (Z's term).
+
+    with_aux: also return the LOCAL X-side V terms (X_locᵀU_new,
+    U_newᵀU_new) — V is sharded here, so the pair stays per-shard and
+    the aux loss psums only the scalar inner product (_aux_loss_cols):
+    zero extra passes over X at eval points."""
     from ..ops.chunked import chunked_spmm, chunked_spmm_t, is_chunked
 
     l1 = hyper.alpha * hyper.l1_ratio
@@ -729,6 +738,7 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
     if cfg.has_Y and cfg.update_Z:
         num = jax.lax.psum(matmul(Yd.T, V), AXIS)
         Z = mu_ratio_update(Z, VtV, num, l1, l2, eps, up)
+    aux = None
     if cfg.update_V:
         if Xt_bl is not None:
             from ..ops.pallas.bell import bell_spmm
@@ -739,6 +749,7 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
         else:
             num = spmm(Xtl, U) if sparse_x else matmul(Xtl, U)
         S = gram(U)
+        aux = (num, S)                               # X-side, pre-Y
         if cfg.has_Y:
             num = num + matmul(Yd, Z)
             S = S + gram(Z)
@@ -746,6 +757,9 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper):
         # shard zero-padding rows are 0·0/0 = NaN when l1 = eps = 0 —
         # force them back to exact zeros before they enter any psum
         V = jnp.where(ops.mask[:, None] > 0.5, V, 0.0)
+    if with_aux:
+        assert aux is not None, "with_aux requires update_V"
+        return U, V, Z, aux
     return U, V, Z
 
 
@@ -805,6 +819,80 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
                 jnp.sum(mask[:, None] * R * R), AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
+
+
+def _cols_local_asq(ops: _ColOperands):
+    """This shard's ‖X_loc‖² (fit-time constant; completed by a psum)."""
+    from ..ops.chunked import is_chunked, local_chunked
+
+    if is_chunked(ops.X):
+        return local_chunked(ops.X).sq_norm
+    if is_sparse(ops.X):
+        return _local_csr(ops.X).sq_norm
+    return jnp.sum(ops.row_sq_t[0])
+
+
+def _aux_loss_cols(cfg: SolverConfig, ops: _ColOperands):
+    """Loss from the step's LOCAL X-side V terms — no pass over X.
+
+    Mirrors _aux_loss_rows for the cols layout: here V is sharded, so the
+    aux pair (X_locᵀU, UᵀU) stays per-shard and only the scalar inner
+    product, ‖X‖², and the k×k Gram reduce over the mesh axis (the same
+    collectives _loss_cols already pays — minus its full X pass)."""
+
+    def loss_fn(state, aux, hyper: Hyper):
+        _, __, U, V, Z = state
+        num, S = aux
+        a_sq = jax.lax.psum(_cols_local_asq(ops), AXIS)
+        inner = jax.lax.psum(jnp.sum(num * V), AXIS)
+        gV = jax.lax.psum(gram(V), AXIS)
+        x_term = 0.5 * (a_sq - 2.0 * inner + jnp.sum(S * gV))
+        loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio)
+        loss = loss + jax.lax.psum(
+            penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
+        if cfg.has_Y:
+            Yd = ops.Y
+            Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
+            if cfg.y_link == LINEAR:
+                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
+                y_inner = jax.lax.psum(
+                    jnp.sum(matmul(Yf.T, V) * Z), AXIS)
+                y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                + jnp.sum(gV * gram(Z)))
+            else:
+                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                y_term = 0.5 * jax.lax.psum(
+                    jnp.sum(ops.mask[:, None] * R * R), AXIS)
+            loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _cols_aux_ok(cfg: SolverConfig, ops: _ColOperands, V) -> bool:
+    """Cols-layout aux loss qualifies under the same rules as the rows
+    layout: both U and V updating (the V step computes the pair either
+    way), linear x_link (the factored identity), and no small
+    mixed-precision dense X (identity cancellation at data precision)."""
+    from ..ops.chunked import is_chunked
+
+    if not (cfg.update_U and cfg.update_V and cfg.x_link == LINEAR):
+        return False
+    if is_chunked(ops.X) or is_sparse(ops.X):
+        return True
+    if ops.row_sq_t is None:
+        return False
+    if ops.X.dtype != V.dtype and ops.X.size < (1 << 22):
+        return False
+    return True
+
+
+def _cols_aux_ok_newton(cfg: SolverConfig, ops: _ColOperands, V) -> bool:
+    """Newton cols aux additionally needs the full-batch V update (a
+    sampled term's DB/BtB describe the subsample) through the generic
+    newton_update_factor path — which every linear-x V update takes."""
+    return (_cols_aux_ok(cfg, ops, V) and cfg.sg_sample_ratio >= 1.0
+            and cfg.hessian_form == "gauss")
 
 
 # ---------------------------------------------------------------------------
@@ -1001,13 +1089,20 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
     return U, V, Z
 
 
-def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
+def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng,
+                      with_aux: bool = False):
     """One Newton iteration, cols layout: the shared dimension m is sharded,
     so V's update is fully LOCAL (its rows see local X columns and local Y
     rows) while U's and Z's (g, H, φ) contributions are psummed — the
     mirror image of the rows layout. Sparse X terms ride the per-shard
     BlockEll MXU layouts when available (Term.tiled), with fit-time row
-    norms (ops.row_sq partial per shard — completed by the φ psum)."""
+    norms (ops.row_sq partial per shard — completed by the φ psum).
+
+    with_aux: also return the LOCAL X-side pair (X_locᵀU_new, U_newᵀU_new)
+    — the V update's linear-term (DB, BtB), already computed inside
+    newton_update_factor (term_cache) — for the zero-extra-pass eval loss
+    (_aux_loss_cols). Requires _cols_aux_ok_newton (linear full-batch X
+    term through the generic V update)."""
     from ..solvers.newton import Term
 
     kU, kZ, kV = jax.random.split(rng, 3)
@@ -1050,6 +1145,7 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
                 kZ, Z, ((Yd.T, V),), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, distributed=(True,),
                 masks=(ymask,), axis_name=AXIS, **common)
+    aux = None
     if cfg.update_V:
         from ..ops.chunked import chunked_spmm_t, is_chunked
 
@@ -1100,10 +1196,20 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng):
             if cfg.has_Y:
                 terms = terms + ((Yd, Z),)
                 links = links + (cfg.y_link,)
-            V = newton_update_factor(
+            out = newton_update_factor(
                 kV, V, terms, links, hyper,
-                non_negative=cfg.V_non_negative, **common)
+                non_negative=cfg.V_non_negative,
+                term_cache=0 if with_aux else None, **common)
+            if with_aux:
+                V, aux = out
+            else:
+                V = out
             V = V * mask[:, None]   # keep padding rows exactly zero
+    if with_aux:
+        assert aux is not None, \
+            "with_aux requires _cols_aux_ok_newton (linear full-batch " \
+            "X term through the generic V update)"
+        return U, V, Z, aux
     return U, V, Z
 
 
@@ -1133,7 +1239,7 @@ def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
     core = device_fit_core(
         step_fn, loss_core, carry_rng=(solver != "mu"),
         aux_loss=_aux_loss_rows(cfg) if aux else None,
-        aux_init=_aux_zero_rows if aux else None)
+        aux_init=_aux_zero_pair if aux else None)
     in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P(), P())
     out_specs = (P(AXIS, None), P(), P(), P(), P())
 
@@ -1149,21 +1255,26 @@ def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
     return fit
 
 
-def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs):
+def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
+                          aux: bool = False):
     from ..solvers.common import device_fit_core
 
     def make_core(ops):
         def step_fn(_, __, U, V, Z, hyper, key=None):
             if solver == "mu":
-                return _mu_cols_iter(ops, U, V, Z, cfg, hyper)
-            return _newton_cols_iter(ops, U, V, Z, cfg, hyper, key)
+                return _mu_cols_iter(ops, U, V, Z, cfg, hyper,
+                                     with_aux=aux)
+            return _newton_cols_iter(ops, U, V, Z, cfg, hyper, key,
+                                     with_aux=aux)
 
         def loss_core(state, hyper):
             _, __, U, V, Z = state
             return _loss_cols(ops, U, V, Z, cfg, hyper)
 
-        return device_fit_core(step_fn, loss_core,
-                               carry_rng=(solver != "mu"))
+        return device_fit_core(
+            step_fn, loss_core, carry_rng=(solver != "mu"),
+            aux_loss=_aux_loss_cols(cfg, ops) if aux else None,
+            aux_init=_aux_zero_pair if aux else None)
 
     in_specs = (ops_specs, P(), P(AXIS, None), P(), P(), P(), P())
     out_specs = (P(), P(AXIS, None), P(), P(), P())
@@ -1227,7 +1338,7 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
             return out if aux else out + (_a,)
 
         U, V, Z, a = jax.lax.fori_loop(
-            0, n_steps, one, (U, V, Z, _aux_zero_rows(U, V, Z)))
+            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
         if aux:
             loss = _aux_loss_rows(cfg)((ops, None, U, V, Z), a, hyper)
         else:
@@ -1268,7 +1379,8 @@ def _shard_specs_cols(ops: _ColOperands):
                         xb_spec, xtb_spec, P(AXIS), P(AXIS))
 
 
-def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
+def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
+                     aux: bool = False):
     in_specs = (ops_specs, P(), P(AXIS, None), P(), P(), P())
     out_specs = ((P(), P(AXIS, None), P()), P(), P())
 
@@ -1276,14 +1388,22 @@ def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs):
         key, off = rng
 
         def one(i, carry):
-            U, V, Z = carry
+            U, V, Z, _a = carry
             if solver == "mu":
-                return _mu_cols_iter(ops, U, V, Z, cfg, hyper)
-            return _newton_cols_iter(ops, U, V, Z, cfg, hyper,
-                                     jax.random.fold_in(key, off + i))
+                out = _mu_cols_iter(ops, U, V, Z, cfg, hyper,
+                                    with_aux=aux)
+            else:
+                out = _newton_cols_iter(ops, U, V, Z, cfg, hyper,
+                                        jax.random.fold_in(key, off + i),
+                                        with_aux=aux)
+            return out if aux else out + (_a,)
 
-        U, V, Z = jax.lax.fori_loop(0, n_steps, one, (U, V, Z))
-        loss = _loss_cols(ops, U, V, Z, cfg, hyper)
+        U, V, Z, a = jax.lax.fori_loop(
+            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
+        if aux:
+            loss = _aux_loss_cols(cfg, ops)((ops, None, U, V, Z), a, hyper)
+        else:
+            loss = _loss_cols(ops, U, V, Z, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -1405,8 +1525,10 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
         specs = _shard_specs_cols(ops)
+        aux = (_cols_aux_ok(cfg, ops, V_pad) if solver == "mu"
+               else _cols_aux_ok_newton(cfg, ops, V_pad))
         if loop == "device":
-            fitf = _make_cols_device_fit(cfg, mesh, solver, specs)
+            fitf = _make_cols_device_fit(cfg, mesh, solver, specs, aux)
             t0 = _time.perf_counter()
             out = fitf(ops, U, V_pad, Z, hyper, rng,
                        jnp.asarray(tol, dtype), max_iter, eval_every)
@@ -1414,7 +1536,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
                 out, eval_every, max_iter)
             return (U, V[:m], Z, n_iter, losses, iters,
                     amortize_step_times(_time.perf_counter() - t0, iters))
-        block, loss_fn = _make_cols_block(cfg, mesh, solver, specs)
+        block, loss_fn = _make_cols_block(cfg, mesh, solver, specs, aux)
         state = (ops, U, V_pad, Z)
         state, n_iter, losses, iters, times = run_solver_loop(
             block, state, hyper, (rng, jnp.zeros((), jnp.int32)),

@@ -298,13 +298,22 @@ def _solve_direction(H_shared, H_rows, G, use_pallas: bool,
 def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
                          non_negative: bool, trials: int, hessian_form: str,
                          sample_ratio: float, use_pallas: bool = False,
-                         distributed=(), masks=(), axis_name=None):
+                         distributed=(), masks=(), axis_name=None,
+                         term_cache=None):
     """One batched Newton update of factor M against its coupled terms.
 
     terms: tuple of (D, B); links: matching static link names;
     distributed: matching bools — True marks terms whose columns are sharded
     over ``axis_name`` (their G/H/φ contributions are psummed);
     masks: matching optional (q,) column masks for sharded sigmoid padding.
+
+    term_cache: optional term index — additionally return that LINEAR
+    term's already-computed (DB, BtB) pair alongside the updated factor.
+    The pair is independent of the factor's line-search outcome (DB = DᵀB
+    and BtB = BᵀB use only the coupled operands), so callers can reuse it
+    for a zero-extra-pass factored loss eval (the sharded layouts' aux
+    loss). Only valid for full-batch linear terms (a sampled term's
+    masked pair describes the subsample, not the data).
     """
     p, k = M.shape
     dtype = M.dtype
@@ -402,7 +411,13 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
 
     from ..ops.linesearch import backtracking_select
 
-    return backtracking_select(phi, project, M, d, trials)
+    M_new = backtracking_select(phi, project, M, d, trials)
+    if term_cache is not None:
+        ctx = ctxs[term_cache]
+        assert isinstance(ctx, _LinearCtx), \
+            "term_cache requires a linear term"
+        return M_new, (ctx.DB, ctx.BtB)
+    return M_new
 
 
 def fused_newton_u_allowed(cfg: SolverConfig, A, row_sq, U) -> bool:

@@ -335,6 +335,85 @@ class TestColsLayout:
         assert np.allclose(m1.V_, m2.V_, rtol=1e-7, atol=1e-9)
 
 
+class TestColsAuxLoss:
+    """Cols-layout zero-extra-pass eval loss (_aux_loss_cols): eval-point
+    losses come from the step's own (X_locᵀU, UᵀU) pair, so after the
+    initial L0 the full `_loss_cols` — the only code path that re-streams
+    X — must never run again. Trajectory parity with the single-chip fit
+    is asserted by TestColsLayout (those fits take this path)."""
+
+    def _count_loss_cols(self, monkeypatch):
+        import pycmf_tpu.parallel.sharded as sh
+
+        calls = []
+        orig = sh._loss_cols
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sh, "_loss_cols", spy)
+        return calls
+
+    @pytest.mark.parametrize("solver", ["mu", "newton"])
+    def test_no_extra_x_pass_at_eval_points(self, rng, solver,
+                                            monkeypatch):
+        calls = self._count_loss_cols(monkeypatch)
+        X, Y = make_problem(rng, n=40, m=67)
+        _fit_pair(X, Y, rng, solver=solver, layout="cols", max_iter=20,
+                  eval_every=5)
+        # traced exactly once: the initial L0 (run_solver_loop's
+        # initial_loss_fn); every eval-point loss comes from the aux pair
+        assert len(calls) == 1
+
+    def test_sigmoid_x_disqualifies_aux(self, rng, monkeypatch):
+        """The factored identity needs a linear x_link — sigmoid-X fits
+        must fall back to the full eval loss at every eval point."""
+        calls = self._count_loss_cols(monkeypatch)
+        X, Y = make_problem(rng, n=24, m=61, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        _fit_pair(X, Y, rng, solver="newton", layout="cols", max_iter=10,
+                  eval_every=5, x_link="sigmoid", U_non_negative=False,
+                  V_non_negative=False, Z_non_negative=False)
+        assert len(calls) >= 2   # L0 + per-eval-block losses
+
+    def test_sampled_newton_disqualifies_aux(self, rng, monkeypatch):
+        """A sampled V term's (DB, BtB) describe the subsample, not the
+        data — stochastic Newton must keep the exact eval loss."""
+        calls = self._count_loss_cols(monkeypatch)
+        X, Y = make_problem(rng, n=40, m=67)
+        _fit_pair(X, Y, rng, solver="newton", layout="cols", max_iter=10,
+                  eval_every=5, sg_sample_ratio=0.5, random_state=0)
+        assert len(calls) >= 2
+
+    @pytest.mark.parametrize("solver", ["mu", "newton"])
+    def test_aux_matches_full_loss_at_state(self, rng, solver):
+        """_aux_loss_cols evaluated at a fit's final state must equal the
+        exact residual loss of the returned factors (f64)."""
+        X, Y = make_problem(rng, n=40, m=67)
+        _, m2 = _fit_pair(X, Y, rng, solver=solver, layout="cols",
+                          max_iter=12, eval_every=3)
+        R = np.asarray(X) - m2.U_ @ m2.V_.T
+        RY = np.asarray(Y) - m2.V_ @ m2.Z_.T
+        exact = 0.5 * ((R * R).sum() + (RY * RY).sum())
+        assert m2.loss_history_[-1] == pytest.approx(exact, rel=1e-10)
+
+    def test_device_loop_aux_matches_host(self, rng):
+        """Both loops ride the aux loss; histories must agree to f64."""
+        X, Y = make_problem(rng, n=40, m=67)
+        U0 = np.abs(rng.randn(40, 4))
+        V0 = np.abs(rng.randn(67, 4))
+        Z0 = np.abs(rng.randn(Y.shape[1], 4))
+        kw = dict(n_components=4, solver="newton", max_iter=12, tol=1e-6,
+                  eval_every=3, dtype="float64", n_shards=8,
+                  shard_layout="cols")
+        m1 = CMF(loop="host", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        m2 = CMF(loop="device", **kw).fit(X, Y, U=U0, V=V0, Z=Z0)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
+
 class TestShardedDeviceLoop:
     """The in-shard_map device loop must match the host-loop sharded run."""
 
@@ -787,6 +866,97 @@ class TestShardedTransform:
         m.n_shards = 8
         U_sharded = m.transform(Xn)
         assert np.allclose(U_single, U_sharded, rtol=1e-3, atol=1e-5)
+
+
+class TestGridAuxLoss:
+    """Grid-layout zero-extra-pass eval loss (_aux_loss_grid): the aux
+    carries the LOCAL ROW-partial (X_cellᵀU, U_locᵀU_loc) pair and only
+    eval points psum it — `_loss_grid` (the only code path that
+    re-streams X) must run exactly once (the initial L0). Trajectory
+    parity vs single-chip is asserted by TestGridLayout."""
+
+    def _count_loss_grid(self, monkeypatch):
+        import pycmf_tpu.parallel.grid as gr
+
+        calls = []
+        orig = gr._loss_grid
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(gr, "_loss_grid", spy)
+        return calls
+
+    @pytest.mark.parametrize("solver", ["mu", "newton"])
+    def test_no_extra_x_pass_at_eval_points(self, rng, solver,
+                                            monkeypatch):
+        calls = self._count_loss_grid(monkeypatch)
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        CMF(n_components=4, solver=solver, max_iter=20, eval_every=5,
+            tol=0.0, dtype="float64", random_state=0, n_shards=(2, 4),
+            shard_layout="grid").fit(X, Y)
+        assert len(calls) == 1   # L0 only
+
+    def test_sampled_newton_disqualifies_aux(self, rng, monkeypatch):
+        calls = self._count_loss_grid(monkeypatch)
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        CMF(n_components=4, solver="newton", max_iter=10, eval_every=5,
+            tol=0.0, dtype="float64", random_state=0, n_shards=(2, 4),
+            shard_layout="grid", sg_sample_ratio=0.5).fit(X, Y)
+        assert len(calls) >= 2   # L0 + per-eval-block losses
+
+    @pytest.mark.parametrize("solver", ["mu", "newton"])
+    def test_aux_matches_full_loss_at_state(self, rng, solver):
+        """Reported eval loss (factored, psummed aux) == exact residual
+        loss of the returned factors at f64, with penalties."""
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        m = CMF(n_components=4, solver=solver, max_iter=12, eval_every=3,
+                tol=0.0, dtype="float64", random_state=0, alpha=0.05,
+                l1_ratio=0.3, n_shards=(2, 4),
+                shard_layout="grid").fit(X, Y)
+
+        def pen(M, a=0.05, l1r=0.3):
+            return (a * l1r * np.abs(M).sum()
+                    + 0.5 * a * (1 - l1r) * (M * M).sum())
+
+        R = X - m.U_ @ m.V_.T
+        RY = Y - m.V_ @ m.Z_.T
+        exact = (0.5 * ((R * R).sum() + (RY * RY).sum())
+                 + pen(m.U_) + pen(m.V_) + pen(m.Z_))
+        assert m.loss_history_[-1] == pytest.approx(exact, rel=1e-10)
+
+    def test_device_loop_aux_matches_host(self, rng):
+        X = np.abs(rng.randn(67, 53))
+        Y = np.abs(rng.randn(53, 9))
+        kw = dict(n_components=4, solver="newton", max_iter=12, tol=1e-6,
+                  eval_every=3, dtype="float64", random_state=0,
+                  n_shards=(2, 4), shard_layout="grid")
+        m1 = CMF(loop="host", **kw).fit(X, Y)
+        m2 = CMF(loop="device", **kw).fit(X, Y)
+        assert m1.n_iter_ == m2.n_iter_
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-12)
+        assert np.allclose(m1.V_, m2.V_, rtol=1e-12)
+
+    def test_sparse_chunked_grid_aux(self, rng, monkeypatch):
+        """Chunked grid cells emit the streamed pair — still zero extra
+        passes, and the reported losses match the CSR grid fit."""
+        import scipy.sparse as sp
+
+        calls = self._count_loss_grid(monkeypatch)
+        Xs = sp.random(67, 53, density=0.2, random_state=1, format="csr")
+        Y = np.abs(rng.randn(53, 9))
+        kw = dict(n_components=4, solver="mu", max_iter=10, eval_every=5,
+                  tol=0.0, dtype="float64", random_state=0,
+                  n_shards=(2, 4), shard_layout="grid")
+        mc = CMF(sparse_mode="chunked", **kw).fit(Xs, Y)
+        n_chunked = len(calls)
+        ms = CMF(sparse_mode="csr", **kw).fit(Xs, Y)
+        assert n_chunked == 1 and len(calls) == 2   # one L0 per fit
+        assert np.allclose(mc.loss_history_, ms.loss_history_, rtol=1e-10)
 
 
 class TestGridLayout:
