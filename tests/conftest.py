@@ -15,6 +15,26 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# XLA:CPU segfault mitigation #1 (see pytest_collection_modifyitems for
+# the history): raise the stack rlimit BEFORE the backend spawns its
+# thread pools — glibc sizes default pthread stacks from the soft limit
+# at thread-creation time, and LLVM's instruction selection recurses
+# deeply on the suite's largest forced-CPU shard_map modules. 8 MiB
+# (the usual default) is marginal; 512 MiB costs nothing (virtual
+# reservation) on this 128 GB host.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * (1 << 20)
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (
+            _want if _hard == resource.RLIM_INFINITY else min(_want, _hard),
+            _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402
 
 # NB: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
@@ -22,14 +42,51 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compile cache: the suite's wall time is dominated by
-# shard_map/pallas compiles, which are identical across runs.
-from pycmf_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+# Persistent XLA compile cache: OFF by default in the suite (round 4).
+# XLA:CPU's AOT executable (de)serializer segfaults non-deterministically
+# on the large forced-CPU shard_map executables near the end of the suite
+# (observed twice: once in backend.deserialize_executable reading a cache
+# hit, once in executable.serialize writing one — both inside native code,
+# uncatchable from Python). Recompiling every run costs ~2-3x suite wall
+# time but cannot crash the run. Opt back in for targeted dev runs with
+# PYCMF_TPU_TEST_CACHE=1. The TPU backend's serializer (bench, examples,
+# driver entry) has been stable across rounds and keeps the cache.
+if os.environ.get("PYCMF_TPU_TEST_CACHE", "").strip().lower() in (
+        "1", "true"):
+    from pycmf_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
+    enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run test_sparse_y first. Its rows-sharded chunked-Y fits compile
+    the largest forced-CPU shard_map executables in the suite, and XLA:CPU
+    segfaulted three times (in compile, executable.serialize, and
+    deserialize_executable — all native, uncatchable) when those compiles
+    landed ~88% into the full suite, while the same tests pass reliably
+    (4/4) in a fresh process. Hoisting them to the front runs the fragile
+    compiles in the proven-stable process state; the stable sort keeps
+    every other file in its usual order."""
+    items.sort(key=lambda it: 0 if "test_sparse_y" in str(it.fspath) else 1)
+
+
+# XLA:CPU segfault mitigation #2: the crash correlates with process age
+# (hundreds of live compiled executables), not with any specific test —
+# the same compiles pass in a fresh process. Dropping the in-memory
+# executable caches every ~120 items bounds the accumulated native state
+# the way the fuzzer's every-25-case clear does (commit d640ee7), at the
+# cost of a few intra-module recompiles.
+_CLEAR_EVERY = 120
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter["n"] += 1
+    if nextitem is not None and _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
 
 
 @pytest.fixture
