@@ -1,0 +1,97 @@
+"""Production A/B: MU at 20NG scale through the one-hot strip layout.
+
+Compares resident-operand device-loop fits (fixed 90 iters, tol=0):
+  A. sparse_mode='auto'  -> device-densified X + fused MU kernel (bf16)
+  B. sparse_mode='csr' + bell off -> one-hot strip SpMM (f32 and bf16)
+  C. B with onehot off -> segment-sum CSR floor
+
+Reports ms/iter and the HBM footprint of the X carrier.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import os
+
+    os.environ.setdefault("PYCMF_TPU_KERNEL_SPMM_TILED", "0")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from pycmf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from pycmf_tpu.solvers import mu as mu_mod
+    from pycmf_tpu.solvers.common import SolverConfig, make_hyper
+    from pycmf_tpu.solvers.mu import run_mu
+    from pycmf_tpu.utils.datasets import synthetic_20ng
+    from pycmf_tpu.utils.init import initialize_factors
+    from pycmf_tpu.utils.validation import as_coupled
+
+    print("backend:", jax.default_backend(), flush=True)
+    X, Y = synthetic_20ng(random_state=0)
+    print(f"X {X.shape} nnz={X.nnz}", flush=True)
+    U0, V0, Z0 = initialize_factors(X, Y, 20, x_init="random",
+                                    y_init="random", random_state=0)
+    cfg = SolverConfig(use_pallas=(jax.default_backend() == "tpu"))
+    MAX_ITER, EVAL = 90, 10
+
+    Ud = jnp.asarray(U0, jnp.float32)
+    Vd = jnp.asarray(V0, jnp.float32)
+    Zd = jnp.asarray(Z0, jnp.float32)
+    hyperd = make_hyper(dtype=jnp.float32)
+    jax.block_until_ready([Ud, Vd, Zd])
+
+    def timed(Xc, Yc, label, reps=3):
+        def run():
+            out = run_mu(Xc, Yc, Ud, Vd, Zd, cfg, hyperd,
+                         max_iter=MAX_ITER, tol=0.0, eval_every=EVAL,
+                         loop="device")
+            jax.block_until_ready(out[0])
+            return out
+
+        out = run()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"{label:28s}: {t * 1e3:7.1f} ms  "
+              f"({t / MAX_ITER * 1e3:.2f} ms/iter)  "
+              f"final_loss={out[5][-1] if isinstance(out[5], list) else ''}"
+              f" losses={out[4][-1]:.6g}", flush=True)
+        return t
+
+    Yc = as_coupled(Y, jnp.bfloat16)
+
+    # A: dense fused (bf16 storage)
+    Xa = as_coupled(X, jnp.bfloat16, use_pallas=cfg.use_pallas,
+                    sparse_mode="auto")
+    timed(Xa, Yc, "A dense fused bf16")
+
+    # B: one-hot strips
+    os.environ["PYCMF_TPU_KERNEL_BELL_SPMM"] = "0"
+    for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        Xb = as_coupled(X, dt, use_pallas=cfg.use_pallas, sparse_mode="csr")
+        assert Xb.A_onehot is not None, "onehot layout not built"
+        print(f"  [onehot {name}] S={Xb.A_onehot.pk.shape[0]} "
+              f"pad={Xb.A_onehot.pad_factor:.2f} "
+              f"bytes={Xb.A_onehot.nbytes/2**20:.1f} MiB "
+              f"(+T {Xb.At_onehot.nbytes/2**20:.1f})", flush=True)
+        timed(Xb, Yc, f"B onehot strips {name}")
+
+    # C: segment-sum floor
+    os.environ["PYCMF_TPU_KERNEL_ONEHOT_SPMM"] = "0"
+    Xc_ = as_coupled(X, jnp.float32, use_pallas=cfg.use_pallas,
+                     sparse_mode="csr")
+    timed(Xc_, Yc, "C segment-sum csr", reps=1)
+
+
+if __name__ == "__main__":
+    main()

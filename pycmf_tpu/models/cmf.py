@@ -270,13 +270,16 @@ class CMF(BaseEstimator, TransformerMixin):
 
     def _matrix_sparse_mode(self, A, link, is_x: bool = True):
         """Per-matrix sparse policy. Sigmoid-linked Newton terms are
-        densified: the solver materializes dense (p, q) sigmoid predictions
-        regardless, so CSR storage saves no memory on the hot path and the
-        per-nonzero alternative is TPU-hostile (docs/PERFORMANCE.md).
-        'chunked' is an X-only layout (the streamed big-matrix passes);
-        the small Y resolves it as 'auto'."""
-        if not is_x and self.sparse_mode == "chunked":
-            return "auto"
+        densified when the dense copy fits: the solver materializes dense
+        (p, q) sigmoid predictions regardless, so CSR storage saves no
+        memory on the hot path and the per-nonzero alternative is
+        TPU-hostile (docs/PERFORMANCE.md). A sigmoid-linked sparse Y past
+        the densify threshold (or under an explicit sparse_mode='chunked')
+        rides the SAME chunked-COO carrier as X — the Z update consumes
+        the transposed-orientation streamed terms, V's Y-term the forward
+        ones (solvers/newton_chunked.py), so Y's dense form never exists.
+        For a linear-linked Y, 'chunked' resolves as 'auto' (CSR spmm
+        handles any size without a dense form)."""
         if (self.solver == "newton" and link == "sigmoid"
                 and sp.issparse(A)):
             if self.sparse_mode in ("chunked", "auto") \
@@ -290,6 +293,16 @@ class CMF(BaseEstimator, TransformerMixin):
                 ns = self._resolve_n_shards()
                 if ns is None or ns <= 1 or self.sparse_mode == "chunked":
                     return self.sparse_mode
+            if not is_x and self.sparse_mode in ("chunked", "auto"):
+                if self.sparse_mode == "chunked":
+                    return "chunked"
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                ydt = self._resolve_data_dtype()
+                item = (2 if ydt in _FP8    # fp8 X keeps Y at bf16
+                        else jnp.dtype(ydt).itemsize)
+                if A.shape[0] * A.shape[1] * item > DENSIFY_THRESHOLD:
+                    return "chunked"
             if self.sparse_mode == "csr":
                 import warnings
 
@@ -301,6 +314,10 @@ class CMF(BaseEstimator, TransformerMixin):
                     "streams them per row chunk)", UserWarning,
                     stacklevel=3)
             return "dense"
+        if not is_x and self.sparse_mode == "chunked":
+            # 'chunked' is otherwise an X-only layout (the streamed
+            # big-matrix passes); a linear-linked Y resolves it as 'auto'
+            return "auto"
         return self.sparse_mode
 
     def _chunked_ok(self) -> bool:
@@ -391,13 +408,19 @@ class CMF(BaseEstimator, TransformerMixin):
         if self.solver == "newton":
             # Sigmoid-linked sparse X resolves per-matrix (see
             # _matrix_sparse_mode); the sharded runners own the 'dense'
-            # host-densify. Y has no chunked carrier: a sigmoid-linked
-            # sparse Y densifies here before sharding (its CSR blocks
-            # would reach sigmoid terms that need dense data).
+            # host-densify. A sigmoid-linked sparse Y on the ROWS layout
+            # (where Y is replicated) passes through: _prepare_rows
+            # device-densifies it when the dense copy fits the threshold,
+            # else streams it as chunked-COO (no dense Y ever exists, on
+            # host or device). The cols/grid layouts shard Y itself, so a
+            # sparse sigmoid Y still densifies here before splitting —
+            # fine for label matrices; for a big sparse Y use
+            # shard_layout='rows'.
             ns = self._resolve_n_shards()
             sharded = ns is not None and ns > 1
             if sharded and Y is not None and sp.issparse(Y) \
-                    and self.y_link == "sigmoid":
+                    and self.y_link == "sigmoid" \
+                    and self.shard_layout != "rows":
                 Y = np.asarray(Y.todense())
             # sg_sample_ratio < 1 on CSR/chunked matrices runs via masked
             # sampling (solvers/newton.sample_mask — the same draw as the

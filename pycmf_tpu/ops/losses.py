@@ -37,13 +37,16 @@ def penalty(M: jnp.ndarray, alpha, l1_ratio) -> jnp.ndarray:
 
 
 def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
-                 tiled=None, a_sq=None, bell_t=None) -> jnp.ndarray:
+                 tiled=None, a_sq=None, bell_t=None,
+                 oh_t=None) -> jnp.ndarray:
     """½‖A − M Bᵀ‖² via the factored identity (A dense or CSR).
 
     tiled: optional Pallas tiled-CSR chunks of A — routes the SDDMM through
     the kernel instead of XLA gathers (slow on TPU).
     bell_t: optional BlockEll layout of Aᵀ — computes the inner product as
-    Σ((AᵀM) ⊙ B) with one MXU block-sparse pass (preferred)."""
+    Σ((AᵀM) ⊙ B) with one MXU block-sparse pass (preferred).
+    oh_t: optional OneHotStrips layout of Aᵀ — same transpose identity
+    through the scattered-sparsity kernel (ops/pallas/onehot.py)."""
     cross = jnp.sum(gram(M) * gram(B))
     from .chunked import chunked_inner, is_chunked
 
@@ -53,11 +56,17 @@ def _linear_term(A, M: jnp.ndarray, B: jnp.ndarray,
         return 0.5 * (A.sq_norm.astype(M.dtype)
                       - 2.0 * chunked_inner(A, M, B) + cross)
     if is_sparse(A):
+        from .pallas.onehot import onehot_ok
+
         a_sq = A.sq_norm
         if bell_t is not None:
             from .pallas.bell import bell_inner
 
             inner = bell_inner(bell_t, M, B)
+        elif oh_t is not None and onehot_ok(oh_t, M.shape[1]):
+            from .pallas.onehot import onehot_spmm
+
+            inner = jnp.sum(onehot_spmm(oh_t, M) * B.astype(M.dtype))
         elif tiled is not None:
             from .pallas.spmm import sddmm_rowdots_chunks
 
@@ -252,7 +261,8 @@ def _sigmoid_term(A, M: jnp.ndarray, B: jnp.ndarray,
 
 def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
                         row_mask: Optional[jnp.ndarray] = None,
-                        tiled=None, a_sq=None, bell_t=None) -> jnp.ndarray:
+                        tiled=None, a_sq=None, bell_t=None,
+                        oh_t=None) -> jnp.ndarray:
     """½‖A − f(M Bᵀ)‖²_F for one coupled matrix.
 
     row_mask (optional, dense/sigmoid paths): per-row weights, used by the
@@ -260,21 +270,23 @@ def reconstruction_term(A, M: jnp.ndarray, B: jnp.ndarray, link: str,
     A and M contribute exactly 0 and need no mask).
     """
     if link == LINEAR:
-        return _linear_term(A, M, B, tiled, a_sq, bell_t)
+        return _linear_term(A, M, B, tiled, a_sq, bell_t, oh_t)
     return _sigmoid_term(A, M, B, row_mask)
 
 
 def total_loss(X, Y, U, V, Z, x_link: str, y_link: str, alpha, l1_ratio,
                x_row_mask: Optional[jnp.ndarray] = None,
                x_tiled=None, y_tiled=None, x_a_sq=None,
-               y_a_sq=None, x_bell_t=None, y_bell_t=None) -> jnp.ndarray:
+               y_a_sq=None, x_bell_t=None, y_bell_t=None,
+               x_oh_t=None, y_oh_t=None) -> jnp.ndarray:
     """Full CMF objective L(U, V, Z). Y may be None (single-matrix / NMF)."""
     loss = reconstruction_term(X, U, V, x_link, x_row_mask, x_tiled, x_a_sq,
-                               x_bell_t)
+                               x_bell_t, oh_t=x_oh_t)
     loss = loss + penalty(U, alpha, l1_ratio) + penalty(V, alpha, l1_ratio)
     if Y is not None:
         loss = loss + reconstruction_term(Y, V, Z, y_link, tiled=y_tiled,
-                                          a_sq=y_a_sq, bell_t=y_bell_t)
+                                          a_sq=y_a_sq, bell_t=y_bell_t,
+                                          oh_t=y_oh_t)
         loss = loss + penalty(Z, alpha, l1_ratio)
     return loss
 

@@ -42,6 +42,10 @@ _DEFAULTS_TPU = {
     "mu_ratio": False,
     "spmm_tiled": False,
     "bell_spmm": True,
+    # One-hot strip SpMM for SCATTERED sparsity (ops/pallas/onehot.py):
+    # ~13× the segment-sum floor at 20NG density, measured 0.65-0.76
+    # Gnnz/s (probe_onehot_spmm3.py). Engaged when BlockEll refuses.
+    "onehot_spmm": True,
 }
 
 

@@ -172,6 +172,66 @@ def _local_bell(stk):
                     stk.fill)
 
 
+def _stack_onehot_blocks(blocks, dtype, max_bytes, k):
+    """Per-shard one-hot strip layouts (ops/pallas/onehot.py) stacked on a
+    leading device dim — the scattered-sparsity rung of the sharded sparse
+    decision tree (engaged when the per-shard BlockEll refuses).
+
+    Returns None when any shard's packed strips exceed max_bytes, the
+    dtype has no TPU dot path (f64 parity), or the kernel's VMEM-resident
+    operand/output stacks don't fit for this k (onehot_ok) — the caller
+    falls back to chunked streaming / segment-sum. Shards are padded to a
+    common strip count (multiple of the kernel's G) with zero strips at
+    (block 0, tile 0): zero values contribute exactly nothing.
+    """
+    from ..ops.pallas.onehot import (STRIP_E, STRIP_G, OneHotStrips,
+                                     onehot_from_scipy, onehot_ok)
+
+    bf16 = jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return None  # f64 parity runs keep segment-sum (same as one chip)
+    lays = []
+    for b in blocks:
+        if b.nnz == 0:
+            # an all-zero shard (padding block) gets G zero strips — the
+            # kernel still runs, every contribution is exactly zero
+            L = OneHotStrips(np.zeros((STRIP_G, 8, STRIP_E), np.float32),
+                             np.zeros(STRIP_G, np.int32),
+                             np.zeros(STRIP_G, np.int32),
+                             b.shape, 0, dot_bf16=bf16)
+        else:
+            L = onehot_from_scipy(b, dtype=dtype, max_bytes=max_bytes,
+                                  return_numpy=True)
+        if L is None or not onehot_ok(L, k):
+            return None
+        lays.append(L)
+    S = max(L.pk.shape[0] for L in lays)
+    S = -(-S // STRIP_G) * STRIP_G
+    pk = np.stack([np.pad(L.pk, ((0, S - L.pk.shape[0]), (0, 0), (0, 0)))
+                   for L in lays])
+    sb = np.stack([np.pad(L.sb, (0, S - L.sb.shape[0])) for L in lays])
+    st = np.stack([np.pad(L.st, (0, S - L.st.shape[0])) for L in lays])
+    return OneHotStrips(jnp.asarray(pk), jnp.asarray(sb), jnp.asarray(st),
+                        lays[0].shape, max(L.nnz for L in lays),
+                        dot_bf16=lays[0].dot_bf16)
+
+
+def _local_onehot(stk):
+    from ..ops.pallas.onehot import OneHotStrips
+
+    return OneHotStrips(stk.pk[0], stk.sb[0], stk.st[0], stk.shape,
+                        stk.nnz, stk.dot_bf16)
+
+
+def _oh_ok(stk, B) -> bool:
+    """Whether the stacked one-hot layout's kernel stacks fit VMEM for
+    this operand width (static — the shapes are trace-time constants)."""
+    from ..ops.pallas.onehot import onehot_ok
+
+    return onehot_ok(_local_onehot(stk), B.shape[1])
+
+
 class _RowOperands(NamedTuple):
     """Device operands for the rows layout (leading dims sharded over AXIS)."""
     X: object            # dense (n_pad, m) | stacked CsrMatrix (d, ...)
@@ -189,6 +249,8 @@ class _RowOperands(NamedTuple):
     row_sq_t_glob: object = None  # (m,) GLOBAL ‖(Xᵀ)ᵢ‖², replicated
     X_bell: object = None    # stacked per-shard BlockEll of X (MXU SpMM)
     Xt_bell: object = None   # stacked per-shard BlockEll of local Xᵀ
+    X_onehot: object = None  # stacked per-shard OneHotStrips (scattered)
+    Xt_onehot: object = None
 
 
 class _ColOperands(NamedTuple):
@@ -201,6 +263,8 @@ class _ColOperands(NamedTuple):
     Xt_bell: object = None   # stacked per-shard BlockEll of local Xᵀ
     row_sq: object = None    # (n,) PARTIAL ‖xᵢ‖² over local cols (psummed φ)
     row_sq_t: object = None  # (m_loc,) EXACT ‖(Xᵀ)ᵢ‖² (local Xᵀ rows are full)
+    X_onehot: object = None  # stacked per-shard OneHotStrips (scattered)
+    Xt_onehot: object = None
 
 
 def _aux_zero_pair(U, V, Z):
@@ -212,7 +276,8 @@ def _aux_zero_pair(U, V, Z):
 
 
 def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
-                  data_dtype=None, chunked: str = "never"):
+                  data_dtype=None, chunked: str = "never",
+                  y_link: str = LINEAR):
     """Split X by rows into d blocks; pad; build transposes per block.
 
     data_dtype: storage dtype for the X/Y shards (None = dtype). bf16
@@ -221,7 +286,15 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
 
     chunked: 'never' | 'auto' (stream per-shard chunked-COO when the
     BlockEll layout refuses — scattered sparsity too big to densify
-    locally) | 'force' (sparse_mode='chunked')."""
+    locally) | 'force' (sparse_mode='chunked')  — applies to X; a
+    SIGMOID-linked sparse Y (replicated in this layout) follows the same
+    policy on its own size: device-densify when the dense copy fits the
+    threshold, else (or under 'force') the replicated chunked-COO carrier
+    whose streamed terms the Newton updates consume — no dense Y ever
+    exists, on host or device.
+
+    y_link: the Y matrix's link — sigmoid Y cannot stay CSR (sigmoid
+    terms need dense or chunked data)."""
     from ..ops.pallas.spmm import b_fits_vmem
 
     ddt = dtype if data_dtype is None else data_dtype
@@ -231,6 +304,7 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
     mask = np.zeros((n_pad,), dtype=np.float64)
     mask[:n] = 1.0
     X_tiled = Xt_tiled = X_bell = Xt_bell = None
+    X_onehot = Xt_onehot = None
 
     if sp.issparse(X):
         X = sp.csr_matrix(X)
@@ -261,7 +335,23 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
-        if not want_chunked and chunked == "auto" and X_bell is None:
+            if X_bell is None and kernel_enabled("onehot_spmm"):
+                # Scattered sparsity (BlockEll refused): per-shard one-hot
+                # strip layouts — ~13× the segment-sum floor, ~10× the
+                # chunked-streaming scatter floor, when the kernel's
+                # VMEM-resident stacks fit (ops/pallas/onehot.onehot_ok)
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                k = U0.shape[1]
+                X_onehot = _stack_onehot_blocks(blocks, ddt,
+                                                DENSIFY_THRESHOLD, k)
+                if X_onehot is not None:
+                    Xt_onehot = _stack_onehot_blocks(tblocks, ddt,
+                                                     DENSIFY_THRESHOLD, k)
+                if Xt_onehot is None:
+                    X_onehot = Xt_onehot = None
+        if not want_chunked and chunked == "auto" and X_bell is None \
+                and X_onehot is None:
             # scattered sparsity too big to densify per shard: the
             # streaming layout beats segment-sum (docs/PERFORMANCE.md)
             want_chunked = True
@@ -304,9 +394,21 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
     if Y is None:
         Yd = Ytd = None
     elif sp.issparse(Y):
-        from ..ops.sparse import csr_transpose_host
+        if y_link != LINEAR:
+            from ..utils.validation import (DENSIFY_THRESHOLD,
+                                            scatter_densify)
 
-        Yd, Ytd = csr_transpose_host(Y, yddt)
+            y_bytes = Y.shape[0] * Y.shape[1] * jnp.dtype(yddt).itemsize
+            if chunked == "force" or y_bytes > DENSIFY_THRESHOLD:
+                from ..ops.chunked import chunked_from_scipy
+
+                Yd, Ytd = chunked_from_scipy(Y, dtype=yddt), None
+            else:
+                Yd, Ytd = scatter_densify(Y, yddt), None
+        else:
+            from ..ops.sparse import csr_transpose_host
+
+            Yd, Ytd = csr_transpose_host(Y, yddt)
     else:
         Yd = jnp.asarray(np.asarray(Y), dtype=yddt)
         Ytd = None
@@ -336,7 +438,7 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
                        jnp.asarray(rs, dtype=fdt),
                        jnp.asarray(rst, dtype=fdt),
                        jnp.asarray(rst.sum(axis=0), dtype=fdt),
-                       X_bell, Xt_bell)
+                       X_bell, Xt_bell, X_onehot, Xt_onehot)
     return ops, jnp.asarray(U_pad, dtype=dtype), n
 
 
@@ -356,6 +458,7 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
     mask = np.zeros((m_pad,), dtype=np.float64)
     mask[:m] = 1.0
     X_bell = Xt_bell = None
+    X_onehot = Xt_onehot = None
 
     if sp.issparse(X):
         Xc = sp.csc_matrix(X)
@@ -388,7 +491,23 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                                               DENSIFY_THRESHOLD))
                 if Xt_bell is None:
                     X_bell = Xt_bell = None
-        if not want_chunked and chunked == "auto" and X_bell is None:
+            if X_bell is None and kernel_enabled("onehot_spmm"):
+                # scattered sparsity: per-shard one-hot strip layouts
+                # (same decision tree as _prepare_rows)
+                from ..utils.validation import DENSIFY_THRESHOLD
+
+                k = V0.shape[1]
+                if tblocks is None:
+                    tblocks = [sp.csr_matrix(b.T) for b in blocks]
+                X_onehot = _stack_onehot_blocks(blocks, ddt,
+                                                DENSIFY_THRESHOLD, k)
+                if X_onehot is not None:
+                    Xt_onehot = _stack_onehot_blocks(tblocks, ddt,
+                                                     DENSIFY_THRESHOLD, k)
+                if Xt_onehot is None:
+                    X_onehot = Xt_onehot = None
+        if not want_chunked and chunked == "auto" and X_bell is None \
+                and X_onehot is None:
             want_chunked = True
         if want_chunked:
             # Per-shard streaming chunked-COO: one row-chunked layout of
@@ -448,7 +567,8 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
     ops = _ColOperands(Xd, Xtd, Yd, jnp.asarray(mask, dtype=dtype),
                        X_bell, Xt_bell,
                        jnp.asarray(rs, dtype=fdt),
-                       jnp.asarray(rst, dtype=fdt))
+                       jnp.asarray(rst, dtype=fdt),
+                       X_onehot, Xt_onehot)
     return ops, jnp.asarray(V_pad, dtype=dtype), m
 
 
@@ -476,6 +596,14 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
                 from ..ops.pallas.bell import bell_inner
 
                 inner = bell_inner(_local_bell(ops.Xt_bell), U, V)
+            elif (cfg.use_pallas and ops.Xt_onehot is not None
+                  and _oh_ok(ops.Xt_onehot, U)):
+                # same transpose identity through the scattered-sparsity
+                # strip kernel: Σ((X_locᵀ U_loc) ⊙ V)
+                from ..ops.pallas.onehot import onehot_spmm
+
+                inner = jnp.sum(onehot_spmm(_local_onehot(ops.Xt_onehot), U)
+                                * V.astype(U.dtype))
             elif cfg.use_pallas and ops.X_tiled is not None:
                 from ..ops.pallas.spmm import sddmm_rowdots_tiled
 
@@ -596,6 +724,13 @@ def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
             from ..ops.pallas.bell import bell_spmm
 
             return bell_spmm(_local_bell(bell), B)
+        oh = ops.Xt_onehot if transpose else ops.X_onehot
+        if oh is not None:
+            from ..ops.pallas.onehot import onehot_ok, onehot_spmm
+
+            ohl = _local_onehot(oh)
+            if onehot_ok(ohl, B.shape[1]):
+                return onehot_spmm(ohl, B)
         tiled = ops.Xt_tiled if transpose else ops.X_tiled
         if tiled is not None:
             from ..ops.pallas.spmm import spmm_tiled
@@ -683,9 +818,11 @@ def _mu_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper,
 
 def _cols_local_views(ops: _ColOperands, use_pallas: bool):
     """Local (inside-shard_map) views of the cols operands: (Xl, Xtl,
-    X_bell_local | None, Xt_bell_local | None). Dense Xtl is Xl.T; a
-    chunked Xl carries NO transposed layout (chunked_spmm_t streams the
-    forward chunks)."""
+    X_layout | None, Xt_layout | None) where a layout is a local BlockEll
+    or OneHotStrips (consumers dispatch on the type — newton's Term
+    machinery via _layout_spmm, MU via _lay_spmm below). Dense Xtl is
+    Xl.T; a chunked Xl carries NO transposed layout (chunked_spmm_t
+    streams the forward chunks)."""
     from ..ops.chunked import is_chunked, local_chunked
 
     if is_chunked(ops.X):
@@ -697,9 +834,22 @@ def _cols_local_views(ops: _ColOperands, use_pallas: bool):
     if use_pallas:
         if ops.X_bell is not None:
             X_bl = _local_bell(ops.X_bell)
+        elif ops.X_onehot is not None:
+            X_bl = _local_onehot(ops.X_onehot)
         if ops.Xt_bell is not None:
             Xt_bl = _local_bell(ops.Xt_bell)
+        elif ops.Xt_onehot is not None:
+            Xt_bl = _local_onehot(ops.Xt_onehot)
     return Xl, Xtl, X_bl, Xt_bl
+
+
+def _lay_spmm(D, lay, B):
+    """lay @ B through a local kernel layout (BlockEll | OneHotStrips),
+    falling back to segment-sum spmm on D (the matching local CSR) when
+    the one-hot VMEM gate refuses this operand width."""
+    from ..solvers.newton import _layout_spmm
+
+    return _layout_spmm(D, lay, B, use_pallas=True)
 
 
 def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper,
@@ -726,9 +876,7 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper,
            if (cfg.update_U or (cfg.has_Y and cfg.update_Z)) else None)
     if cfg.update_U:
         if X_bl is not None:
-            from ..ops.pallas.bell import bell_spmm
-
-            num = jax.lax.psum(bell_spmm(X_bl, V), AXIS)
+            num = jax.lax.psum(_lay_spmm(Xl, X_bl, V), AXIS)
         elif chunk:
             num = jax.lax.psum(chunked_spmm(Xl, V), AXIS)
         else:
@@ -741,9 +889,7 @@ def _mu_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper,
     aux = None
     if cfg.update_V:
         if Xt_bl is not None:
-            from ..ops.pallas.bell import bell_spmm
-
-            num = bell_spmm(Xt_bl, U)
+            num = _lay_spmm(Xtl, Xt_bl, U)
         elif chunk:
             num = chunked_spmm_t(Xl, U)
         else:
@@ -781,9 +927,15 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
         elif sparse_x:
             a_sq = Xl.sq_norm
             if Xt_bl is not None:
-                from ..ops.pallas.bell import bell_inner
+                from ..ops.pallas.bell import BlockEll, bell_inner
 
-                inner = bell_inner(Xt_bl, U, V)
+                if isinstance(Xt_bl, BlockEll):
+                    inner = bell_inner(Xt_bl, U, V)
+                else:
+                    # one-hot strip layout: same transpose identity,
+                    # Σ((X_locᵀ U) ⊙ V_loc) through the strip kernel
+                    inner = jnp.sum(_lay_spmm(Xtl, Xt_bl, U)
+                                    * V.astype(U.dtype))
             else:
                 inner = jnp.sum(spmm(Xtl, U) * V)
         else:
@@ -933,10 +1085,14 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
     if cfg.use_pallas:
         if ops.X_bell is not None:
             X_tl = _local_bell(ops.X_bell)
+        elif ops.X_onehot is not None:
+            X_tl = _local_onehot(ops.X_onehot)
         elif ops.X_tiled is not None:
             X_tl = _local_tiled(ops.X_tiled)
         if ops.Xt_bell is not None:
             Xt_tl = _local_bell(ops.Xt_bell)
+        elif ops.Xt_onehot is not None:
+            Xt_tl = _local_onehot(ops.Xt_onehot)
         elif ops.Xt_tiled is not None:
             Xt_tl = _local_tiled(ops.Xt_tiled)
 
@@ -1014,7 +1170,13 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 Z, ops.Y.T, V, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas)
         else:
-            Yt = ops.Yt if is_sparse(ops.Y) else ops.Y.T
+            from ..ops.chunked import ChunkedT, is_chunked as _ick
+
+            # chunked Y (replicated streamed sigmoid carrier): the Z
+            # update is the transposed orientation — every shard streams
+            # the same chunks, matching the single-chip Z branch
+            Yt = (ChunkedT(ops.Y) if _ick(ops.Y)
+                  else ops.Yt if is_sparse(ops.Y) else ops.Y.T)
             Z = newton_update_factor(
                 kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, **common)
@@ -1310,9 +1472,11 @@ def _shard_specs_rows(ops: _RowOperands):
     xttl_spec = None if ops.Xt_tiled is None else P(AXIS)
     xb_spec = None if ops.X_bell is None else P(AXIS)
     xtb_spec = None if ops.Xt_bell is None else P(AXIS)
+    xo_spec = None if ops.X_onehot is None else P(AXIS)
+    xto_spec = None if ops.Xt_onehot is None else P(AXIS)
     return _RowOperands(x_spec, xt_spec, y_spec, yt_spec, P(AXIS),
                         xtl_spec, xttl_spec, P(AXIS), P(AXIS), P(),
-                        xb_spec, xtb_spec)
+                        xb_spec, xtb_spec, xo_spec, xto_spec)
 
 
 def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
@@ -1375,8 +1539,11 @@ def _shard_specs_cols(ops: _ColOperands):
     y_spec = None if ops.Y is None else P(AXIS, None)
     xb_spec = None if ops.X_bell is None else P(AXIS)
     xtb_spec = None if ops.Xt_bell is None else P(AXIS)
+    xo_spec = None if ops.X_onehot is None else P(AXIS)
+    xto_spec = None if ops.Xt_onehot is None else P(AXIS)
     return _ColOperands(x_spec, xt_spec, y_spec, P(AXIS),
-                        xb_spec, xtb_spec, P(AXIS), P(AXIS))
+                        xb_spec, xtb_spec, P(AXIS), P(AXIS),
+                        xo_spec, xto_spec)
 
 
 def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
@@ -1488,7 +1655,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         ops, U_pad, n = _prepare_rows(X, Y, U0, d, dtype,
                                       use_pallas=cfg.use_pallas,
                                       data_dtype=data_dtype,
-                                      chunked=chunked)
+                                      chunked=chunked,
+                                      y_link=cfg.y_link)
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))

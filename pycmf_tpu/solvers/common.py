@@ -89,6 +89,8 @@ class Coupled(NamedTuple):
     a_sq: Any = None         # scalar ‖A‖²_F (dense; saves a loss-eval pass)
     A_bell: Any = None       # BlockEll layout (MXU block-sparse path)
     At_bell: Any = None
+    A_onehot: Any = None     # OneHotStrips layout (scattered-sparsity path)
+    At_onehot: Any = None
 
 
 def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
@@ -105,6 +107,12 @@ def coupled_mm(C: Coupled, B: jnp.ndarray, transpose: bool = False,
                 from ..ops.pallas.bell import bell_spmm
 
                 return bell_spmm(bell, B)
+            oh = C.At_onehot if transpose else C.A_onehot
+            if oh is not None:
+                from ..ops.pallas.onehot import onehot_ok, onehot_spmm
+
+                if onehot_ok(oh, B.shape[1]):
+                    return onehot_spmm(oh, B)
             tiled = C.At_tiled if transpose else C.A_tiled
             if tiled is not None:
                 from ..ops.pallas.spmm import spmm_chunks

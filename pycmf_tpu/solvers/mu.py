@@ -160,8 +160,10 @@ def _aux_loss(cfg: SolverConfig):
         if cfg.has_Y:
             yt = Y.A_tiled if cfg.use_pallas else None
             yb = Y.At_bell if cfg.use_pallas else None
+            yo = Y.At_onehot if cfg.use_pallas else None
             loss = loss + reconstruction_term(
-                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb)
+                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb,
+                oh_t=yo)
             loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
         return loss
 
@@ -199,11 +201,13 @@ def _loss_core(cfg: SolverConfig):
         yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
         xb = X.At_bell if cfg.use_pallas else None
         yb = (Y.At_bell if cfg.has_Y and cfg.use_pallas else None)
+        xo = X.At_onehot if cfg.use_pallas else None
+        yo = (Y.At_onehot if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
                           hyper.alpha, hyper.l1_ratio,
                           x_tiled=xt, y_tiled=yt, x_a_sq=X.a_sq,
                           y_a_sq=(Y.a_sq if cfg.has_Y else None),
-                          x_bell_t=xb, y_bell_t=yb)
+                          x_bell_t=xb, y_bell_t=yb, x_oh_t=xo, y_oh_t=yo)
 
     return loss_fn
 

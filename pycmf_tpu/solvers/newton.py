@@ -71,6 +71,30 @@ class Term(NamedTuple):
     BtB: object = None
 
 
+def _layout_spmm(D, layout, B, use_pallas: bool):
+    """D @ B through the best fit-time sparse layout: BlockEll (block-
+    structured), OneHotStrips (scattered), TiledCsr chunks; else XLA
+    segment-sum. Layouts are built once in as_coupled; dispatch is on the
+    (static) layout type."""
+    if use_pallas and layout is not None:
+        from ..ops.pallas.bell import BlockEll
+
+        if isinstance(layout, BlockEll):
+            from ..ops.pallas.bell import bell_spmm
+
+            return bell_spmm(layout, B)
+        from ..ops.pallas.onehot import OneHotStrips, onehot_ok, onehot_spmm
+
+        if isinstance(layout, OneHotStrips):
+            if onehot_ok(layout, B.shape[1]):
+                return onehot_spmm(layout, B)
+            return spmm(D, B)
+        from ..ops.pallas.spmm import spmm_chunks
+
+        return spmm_chunks(layout, B)
+    return spmm(D, B)
+
+
 class _LinearCtx(NamedTuple):
     """Candidate-independent quantities for a linear-link term's line search:
     φᵢ(m) = ½(‖dᵢ‖² − 2⟨(DB)ᵢ, m⟩ + mᵀ(BᵀB)m)."""
@@ -149,7 +173,7 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
             elif is_sparse(D):
                 from ..ops.sparse import masked_row_sq_norms
 
-                DB = spmm(D, Bm)
+                DB = _layout_spmm(D, tiled, Bm, use_pallas)
                 row_sq = masked_row_sq_norms(D, mv)
             else:
                 DB = matmul(D, Bm)
@@ -171,19 +195,7 @@ def _accumulate_term(M, D, B, link: str, hessian_form: str, mask,
         elif is_chunked(D):
             DB = chunked_spmm(D, B)   # streamed scatter+MXU pass
         elif is_sparse(D):
-            if use_pallas and tiled is not None:
-                from ..ops.pallas.bell import BlockEll
-
-                if isinstance(tiled, BlockEll):
-                    from ..ops.pallas.bell import bell_spmm
-
-                    DB = bell_spmm(tiled, B)
-                else:
-                    from ..ops.pallas.spmm import spmm_chunks
-
-                    DB = spmm_chunks(tiled, B)
-            else:
-                DB = spmm(D, B)
+            DB = _layout_spmm(D, tiled, B, use_pallas)
         else:
             DB = matmul(D, B)
         G = matmul(M, BtB) - DB
@@ -645,7 +657,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     use_pallas=cfg.use_pallas)
             else:
                 U = newton_update_factor(
-                    kU, U, (Term(X.A, V, X.A_bell or X.A_tiled, X.row_sq),),
+                    kU, U, (Term(X.A, V, X.A_bell or X.A_onehot or X.A_tiled, X.row_sq),),
                     (cfg.x_link,), hyper,
                     non_negative=cfg.U_non_negative, **common)
         if cfg.has_Y and cfg.update_Z:
@@ -657,8 +669,17 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     non_negative=cfg.Z_non_negative,
                     use_pallas=cfg.use_pallas)
             else:
-                if is_sparse(Y.A):
-                    zterm = Term(Y.At, V, Y.At_bell or Y.At_tiled,
+                if _is_ck(Y.A):
+                    # streamed sigmoid Y (chunked over Y's m rows): Z's
+                    # rows index Y's columns — the transposed-orientation
+                    # builders (chunked_sigmoid_colwise_terms, B = V
+                    # chunked alongside Y's rows) accumulate G/H/φ per
+                    # chunk; Y's dense form never exists on device
+                    from ..ops.chunked import ChunkedT
+
+                    zterm = Term(ChunkedT(Y.A), V, None, Y.row_sq_t)
+                elif is_sparse(Y.A):
+                    zterm = Term(Y.At, V, Y.At_bell or Y.At_onehot or Y.At_tiled,
                                  Y.row_sq_t)
                 else:
                     zterm = Term(Y.A.T, V, None, Y.row_sq_t)
@@ -692,7 +713,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                                   DB=chunked_spmm_t(X.A, U),
                                   BtB=gram(U)),)
             elif is_sparse(X.A):
-                terms = (Term(X.At, U, X.At_bell or X.At_tiled,
+                terms = (Term(X.At, U, X.At_bell or X.At_onehot or X.At_tiled,
                               X.row_sq_t),)
             elif numv_x is not None:
                 # The fused U-pass already produced XᵀU_new and U_newᵀU_new
@@ -708,7 +729,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     V, X.A.T, U, hyper, trials=cfg.line_search_trials,
                     non_negative=cfg.V_non_negative,
                     use_pallas=cfg.use_pallas,
-                    yterm=(Term(Y.A, Z, Y.A_bell or Y.A_tiled, Y.row_sq)
+                    yterm=(Term(Y.A, Z, Y.A_bell or Y.A_onehot or Y.A_tiled, Y.row_sq)
                            if cfg.has_Y else None),
                     y_link=cfg.y_link)
                 terms = None
@@ -717,7 +738,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
             if terms is not None:
                 links = (cfg.x_link,)
                 if cfg.has_Y:
-                    terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_tiled,
+                    terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_onehot or Y.A_tiled,
                                           Y.row_sq),)
                     links = links + (cfg.y_link,)
                 V = newton_update_factor(
@@ -751,8 +772,10 @@ def _aux_loss(cfg: SolverConfig):
         if cfg.has_Y:
             yt = Y.A_tiled if cfg.use_pallas else None
             yb = Y.At_bell if cfg.use_pallas else None
+            yo = Y.At_onehot if cfg.use_pallas else None
             loss = loss + reconstruction_term(
-                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb)
+                Y.A, V, Z, cfg.y_link, tiled=yt, a_sq=Y.a_sq, bell_t=yb,
+                oh_t=yo)
             loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
         return loss
 
@@ -787,11 +810,13 @@ def _loss_core(cfg: SolverConfig):
         yt = (Y.A_tiled if cfg.has_Y and cfg.use_pallas else None)
         xb = X.At_bell if cfg.use_pallas else None
         yb = (Y.At_bell if cfg.has_Y and cfg.use_pallas else None)
+        xo = X.At_onehot if cfg.use_pallas else None
+        yo = (Y.At_onehot if cfg.has_Y and cfg.use_pallas else None)
         return total_loss(X.A, YA, U, V, Z, cfg.x_link, cfg.y_link,
                           hyper.alpha, hyper.l1_ratio,
                           x_tiled=xt, y_tiled=yt, x_a_sq=X.a_sq,
                           y_a_sq=(Y.a_sq if cfg.has_Y else None),
-                          x_bell_t=xb, y_bell_t=yb)
+                          x_bell_t=xb, y_bell_t=yb, x_oh_t=xo, y_oh_t=yo)
 
     return loss_fn
 

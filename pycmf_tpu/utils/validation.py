@@ -41,6 +41,25 @@ def check_fp8_range(A, dtype) -> None:
             "use data_dtype='bfloat16'")
 
 
+def scatter_densify(A, dtype):
+    """Densify a scipy-sparse matrix ON DEVICE: upload only the COO
+    nonzeros and scatter into device zeros (~nnz·9 bytes over the link
+    instead of the full dense matrix — see as_coupled's dense branch for
+    the rationale). The scatter runs AT the storage dtype (duplicates are
+    summed on the host first, so ``.set`` is exact); fp8 detours through
+    a small f32 buffer (fp8 scatter support is uncertain across backends).
+    """
+    coo = A.tocoo()
+    coo.sum_duplicates()
+    scat_dt = jnp.float32 if dtype in FP8_DTYPES else dtype
+    Ad = jnp.zeros(A.shape, scat_dt).at[
+        jnp.asarray(coo.row), jnp.asarray(coo.col)].set(
+        jnp.asarray(coo.data, dtype=scat_dt))
+    if jnp.dtype(dtype) != jnp.dtype(scat_dt):
+        Ad = Ad.astype(dtype)
+    return Ad
+
+
 def as_coupled(A, dtype, use_pallas: bool = False,
                sparse_mode: str = "auto",
                densify_threshold: int = DENSIFY_THRESHOLD,
@@ -145,7 +164,7 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         coo.sum_duplicates()
         if dtype in FP8_DTYPES:
             # quantized-norms convention (see _dense_coupled); the f32
-            # detour mirrors the device scatter's f32→fp8 convert below
+            # detour mirrors scatter_densify's f32→fp8 convert
             sq64 = (coo.data.astype(np.float32).astype(dtype)
                     .astype(np.float64) ** 2)
         else:
@@ -155,25 +174,15 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         np.add.at(row_sq, coo.row, sq64)
         col_sq = np.zeros(m)
         np.add.at(col_sq, coo.col, sq64)
-        # scatter AT the storage dtype (duplicates were summed on the
-        # host, so .set is exact) — an f32 intermediate would triple the
-        # transient HBM for bf16 targets near the densify threshold. fp8
-        # scatters via a small f32 detour (fp8 scatter support is
-        # uncertain across backends; fp8 arrays are 4x smaller anyway).
-        scat_dt = jnp.float32 if dtype in FP8_DTYPES else dtype
-        Ad = jnp.zeros((n, m), scat_dt).at[
-            jnp.asarray(coo.row), jnp.asarray(coo.col)].set(
-            jnp.asarray(coo.data, dtype=scat_dt))
-        if jnp.dtype(dtype) != jnp.dtype(scat_dt):
-            Ad = Ad.astype(dtype)
         return Coupled(
-            Ad,
+            scatter_densify(A, dtype),
             row_sq=jnp.asarray(row_sq, dtype=fdt),
             row_sq_t=jnp.asarray(col_sq, dtype=fdt),
             a_sq=jnp.asarray(sq64.sum(), dtype=fdt))
 
     C, Ct = csr_transpose_host(A, dtype=dtype)
     A_tiled = At_tiled = A_bell = At_bell = None
+    A_onehot = At_onehot = None
     if use_pallas:
         from ..ops.pallas.policy import kernel_enabled
 
@@ -181,8 +190,8 @@ def as_coupled(A, dtype, use_pallas: bool = False,
             # MXU block-sparse layout (ops/pallas/bell.py): dense 128×128
             # sub-blocks at nonzero positions. Capped at the densify
             # threshold — if blocks blow past it the sparsity is too
-            # scattered for this layout and we fall back (segment-sum
-            # below; row-sharding is the production answer at that scale).
+            # scattered for this layout and we fall back (one-hot strips
+            # below; row-sharding is the production answer at pod scale).
             from ..ops.pallas.bell import bell_from_scipy
 
             A_bell = bell_from_scipy(A, dtype=dtype,
@@ -192,19 +201,37 @@ def as_coupled(A, dtype, use_pallas: bool = False,
                     sp.csr_matrix(A).T.tocsr(), dtype=dtype,
                     max_bytes=densify_threshold)
             if A_bell is None or At_bell is None:
-                import warnings
-
                 A_bell = At_bell = None
-                warnings.warn(
-                    "block-sparse layout exceeds the densify threshold "
-                    "(sparsity too scattered for 128x128 blocks); falling "
-                    "back to segment-sum SpMM — use sparse_mode='chunked' "
-                    "(MU streaming path) or n_shards to row-shard and "
-                    "densify per chip", UserWarning,
-                    stacklevel=3)
+        if A_bell is None and kernel_enabled("onehot_spmm"):
+            # Scattered sparsity (bell refused or disabled): one-hot strip
+            # SpMM (ops/pallas/onehot.py) — ~13× the segment-sum floor at
+            # 20NG density. Both orientations or neither (the solvers
+            # need XV and XᵀU at matched precision).
+            from ..ops.pallas.onehot import onehot_from_scipy
+
+            A_onehot = onehot_from_scipy(A, dtype=dtype,
+                                         max_bytes=densify_threshold)
+            if A_onehot is not None:
+                At_onehot = onehot_from_scipy(
+                    sp.csr_matrix(A).T.tocsr(), dtype=dtype,
+                    max_bytes=densify_threshold)
+            if A_onehot is None or At_onehot is None:
+                A_onehot = At_onehot = None
+        if (kernel_enabled("bell_spmm") and A_bell is None
+                and A_onehot is None):
+            import warnings
+
+            warnings.warn(
+                "block-sparse and one-hot strip layouts both exceed their "
+                "budgets (sparsity too scattered / matrix too large); "
+                "falling back to segment-sum SpMM — use "
+                "sparse_mode='chunked' (MU streaming path) or n_shards "
+                "to row-shard and densify per chip", UserWarning,
+                stacklevel=3)
         from ..ops.pallas.spmm import tpu_spmm_kernel_enabled
 
-        if A_bell is None and tpu_spmm_kernel_enabled():
+        if A_bell is None and A_onehot is None \
+                and tpu_spmm_kernel_enabled():
             from ..ops.pallas.spmm import tile_csr_chunks_host
 
             Ah = sp.csr_matrix(A)
@@ -221,7 +248,8 @@ def as_coupled(A, dtype, use_pallas: bool = False,
     row_sq_t = jnp.asarray(
         np.asarray(A.multiply(A).sum(axis=0)).ravel(), dtype=fdt)
     return Coupled(C, Ct, A_tiled, At_tiled, row_sq, row_sq_t,
-                   A_bell=A_bell, At_bell=At_bell)
+                   A_bell=A_bell, At_bell=At_bell,
+                   A_onehot=A_onehot, At_onehot=At_onehot)
 
 
 def check_matrix(A, name: str, *, require_non_negative: bool,
