@@ -151,20 +151,32 @@ def main():
     B_m = rng.randn(M, K).astype(np.float32)   # operand for A @ B
     B_n = rng.randn(N, K).astype(np.float32)   # operand for At @ B
 
-    Xb = np.asarray(jnp.asarray(Xs.toarray(), jnp.bfloat16)
-                    .astype(jnp.float32))
-    want_f = (Xb.astype(np.float64)
-              @ np.asarray(jnp.asarray(B_m, jnp.bfloat16)
-                           .astype(jnp.float32), np.float64)).T
-    want_t = (Xb.astype(np.float64).T
-              @ np.asarray(jnp.asarray(B_n, jnp.bfloat16)
-                           .astype(jnp.float32), np.float64)).T
+    print("data built; computing host references...", flush=True)
+    # bf16-quantized values without the 1.4 GB dense f32 detour: quantize
+    # the nnz values only, then SPARSE f64 matmuls for the references
+    vq = np.asarray(jnp.asarray(vals, jnp.bfloat16).astype(jnp.float32))
+    Xq = sp.coo_matrix((vq.astype(np.float64), (rows, cols)),
+                       shape=(N, M)).tocsr()
+    Bmq = np.asarray(jnp.asarray(B_m, jnp.bfloat16).astype(jnp.float32),
+                     np.float64)
+    Bnq = np.asarray(jnp.asarray(B_n, jnp.bfloat16).astype(jnp.float32),
+                     np.float64)
+    want_f = (Xq @ Bmq).T
+    want_t = (Xq.T @ Bnq).T
+    print("references done", flush=True)
 
     dtype = jnp.bfloat16
-    for (R, T, E, G) in ((512, 512, 256, 4), (512, 512, 128, 8),
-                         (512, 256, 128, 8), (256, 256, 128, 8),
-                         (512, 512, 512, 2), (1024, 512, 128, 8),
-                         (512, 512, 128, 16), (256, 512, 128, 8)):
+    configs = ((512, 512, 256, 4), (512, 512, 128, 8),
+               (512, 256, 128, 8), (256, 256, 128, 8),
+               (512, 512, 512, 2), (1024, 512, 128, 8),
+               (512, 512, 128, 16), (256, 512, 128, 8))
+    # argv: config indices to run (compile time over the tunneled link
+    # makes the full 8-config x 2-orient x 2-variant sweep too slow for
+    # one bounded run) — e.g. `probe_onehot_spmm4.py 0 1`
+    idx = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if idx:
+        configs = tuple(configs[int(a)] for a in idx)
+    for (R, T, E, G) in configs:
         L = oh.onehot_from_scipy(Xs, dtype=jnp.bfloat16, R=R, T=T, E=E, G=G)
         Sp_ = int(L.pk.shape[0])
         n_blocks = -(-N // R)
@@ -179,10 +191,11 @@ def main():
         bt_m = lay(B_m, m_tiles, T)
         bt_n = lay(B_n, n_blocks, R)
 
+        variants = ("cmp",) if "--cmp-only" in sys.argv else ("cmp", "prod")
         for orient, mk, bt, osh, want, nout in (
                 ("fwd", make_fwd_kernel, bt_m, (n_blocks, KP, R), want_f, N),
                 ("t  ", make_t_kernel, bt_n, (m_tiles, KP, T), want_t, M)):
-            for variant in ("cmp", "prod"):
+            for variant in variants:
                 call = pl.pallas_call(
                     mk(R, T, E, G, dtype, variant),
                     grid_spec=pltpu.PrefetchScalarGridSpec(

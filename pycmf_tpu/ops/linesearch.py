@@ -19,26 +19,40 @@ import jax
 import jax.numpy as jnp
 
 
-def backtracking_select_table(phis, project, M, d):
+def backtracking_select_table(phis, project, M, d, return_phi: bool = False):
     """Same accept rule from a PRECOMPUTED φ table (rows, trials+1):
     slot 0 = φ(M), slot t = φ of project(M − 0.5^{t-1} d) — the fused
     sigmoid kernels emit every candidate's objective in one data pass
     (ops/pallas/sigmoid_newton.py), so selection only rebuilds the
-    winning candidate from the same formula (identical values)."""
+    winning candidate from the same formula (identical values).
+
+    return_phi: additionally return the per-row objective AT the selected
+    value (the accepted slot's φ, or slot 0 for rows that kept M) — the
+    step just evaluated it, so callers can assemble an eval loss with zero
+    extra data passes (solvers/newton.py φ-aux)."""
     accepted = phis[:, 1:] < phis[:, :1]
     first = jnp.argmax(accepted, axis=1)     # first (largest) accepted
     any_acc = jnp.any(accepted, axis=1)
     s = (0.5 ** first.astype(M.dtype))[:, None]
     cand = project(M - s * d)
-    return jnp.where(any_acc[:, None], cand, M)
+    out = jnp.where(any_acc[:, None], cand, M)
+    if return_phi:
+        sel = jnp.take_along_axis(phis[:, 1:], first[:, None], axis=1)[:, 0]
+        return out, jnp.where(any_acc, sel, phis[:, 0])
+    return out
 
 
-def backtracking_select(phi, project, M, d, trials: int):
+def backtracking_select(phi, project, M, d, trials: int,
+                        return_phi: bool = False):
     """Select per-row updates of M along direction d (shape of M).
 
     phi(Mc) -> (rows,) per-row objective; project(Mc) -> Mc projected
-    (applied BEFORE φ, so the accept test sees the feasible point)."""
+    (applied BEFORE φ, so the accept test sees the feasible point).
+    return_phi: additionally return φ at the selected value (see
+    backtracking_select_table); requires trials >= 1 (a plain Newton
+    step evaluates no objective)."""
     if trials <= 0:
+        assert not return_phi, "return_phi needs trials >= 1"
         return project(M - d)
     steps = 0.5 ** jnp.arange(trials, dtype=M.dtype)
     phi0 = phi(M)
@@ -54,4 +68,8 @@ def backtracking_select(phi, project, M, d, trials: int):
     first = jnp.argmax(accepted, axis=0)     # first (largest) accepted
     any_acc = jnp.any(accepted, axis=0)
     chosen = jnp.take_along_axis(cands, first[None, :, None], axis=0)[0]
-    return jnp.where(any_acc[:, None], chosen, M)
+    out = jnp.where(any_acc[:, None], chosen, M)
+    if return_phi:
+        sel = jnp.take_along_axis(phis, first[None, :], axis=0)[0]
+        return out, jnp.where(any_acc, sel, phi0)
+    return out

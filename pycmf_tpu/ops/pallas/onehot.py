@@ -168,14 +168,50 @@ def onehot_from_scipy(A, dtype=jnp.float32, *,
         dot_bf16=bf16)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class OneHotStripsT:
+    """Transposed VIEW of a OneHotStrips layout: represents base.Aᵀ.
+
+    The packed strips carry BOTH local row and col indices, so the
+    transposed contraction Aᵀ @ B runs from the SAME strips with the
+    one-hot roles swapped (onehot_spmm_t) — no second host packing pass
+    and no second HBM copy (round-5; measured within ~10% of the forward
+    kernel at the 20NG shape, benchmarks/probe_onehot_spmm4.py)."""
+
+    base: OneHotStrips
+
+    def tree_flatten(self):
+        return (self.base,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+    @property
+    def shape(self):
+        p, q = self.base.shape
+        return (q, p)
+
+    @property
+    def nnz(self) -> int:
+        return self.base.nnz
+
+    @property
+    def nbytes(self) -> int:
+        return 0   # a view — the strips are owned by .base
+
+
 def _kp_for(k: int, bf16: bool) -> int:
     mult = 16 if bf16 else 8
     return max(mult, -(-k // mult) * mult)
 
 
-def onehot_ok(L: OneHotStrips, k: int,
-              budget: int = VMEM_BUDGET) -> bool:
-    """Whether the VMEM-resident operand/output stacks fit for this k."""
+def onehot_ok(L, k: int, budget: int = VMEM_BUDGET) -> bool:
+    """Whether the VMEM-resident operand/output stacks fit for this k.
+    Symmetric in the two stacks, so the T view checks identically."""
+    if isinstance(L, OneHotStripsT):
+        L = L.base
     p, q = L.shape
     R, T, E = ROW_BLOCK, COL_TILE, L.pk.shape[2]
     kp = _kp_for(k, L.dot_bf16)
@@ -224,13 +260,99 @@ def _make_kernel(R, T, E, G, dot_dt, prec):
     return kernel
 
 
-def onehot_spmm(L: OneHotStrips, B: jnp.ndarray) -> jnp.ndarray:
+def _make_t_kernel(R, T, E, G, dot_dt, prec):
+    """Transposed orientation: out[tile] += per-strip Aᵀ @ B from the
+    SAME packed strips — gather B rows by LOCAL ROW index (val-weighted
+    (R, E) one-hot), scatter by LOCAL COL index ((E, T) one-hot)."""
+
+    def kernel(sb_ref, st_ref, pk_ref, ut_ref, out_ref):
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for g in range(G):
+            i = s * G + g
+            packed = pk_ref[g]
+            val = packed[0, :]
+            rl = jax.lax.bitcast_convert_type(packed[1, :], jnp.int32)
+            cl = jax.lax.bitcast_convert_type(packed[2, :], jnp.int32)
+            roneT = jnp.where(
+                rl[None, :] == jax.lax.broadcasted_iota(
+                    jnp.int32, (R, E), 0),
+                val[None, :], jnp.zeros((), jnp.float32)).astype(dot_dt)
+            Wt = jax.lax.dot_general(
+                ut_ref[sb_ref[i]].astype(dot_dt), roneT,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            coneT = jnp.where(
+                cl[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (E, T), 1),
+                jnp.ones((), jnp.float32),
+                jnp.zeros((), jnp.float32)).astype(dot_dt)
+            out_ref[st_ref[i]] += jax.lax.dot_general(
+                Wt.astype(dot_dt), coneT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+    return kernel
+
+
+def onehot_spmm_t(L: OneHotStrips, B: jnp.ndarray) -> jnp.ndarray:
+    """L.Aᵀ @ B from the layout of A (p×q) and dense B (p, k) → (q, k)
+    f32 — the same strips, roles swapped (see OneHotStripsT)."""
+    p, q = L.shape
+    R, T = ROW_BLOCK, COL_TILE
+    E = int(L.pk.shape[2])
+    G = STRIP_G
+    S = int(L.pk.shape[0])
+    k = B.shape[1]
+    kp = _kp_for(k, L.dot_bf16)
+    n_blocks = -(-p // R)
+    m_tiles = -(-q // T)
+    if L.dot_bf16:
+        dot_dt, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dot_dt, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    Btp = jnp.zeros((kp, n_blocks * R), jnp.float32)
+    Btp = jax.lax.dynamic_update_slice(
+        Btp, B.T.astype(jnp.float32), (0, 0))
+    ut = Btp.reshape(kp, n_blocks, R).transpose(1, 0, 2)
+
+    out = pl.pallas_call(
+        _make_t_kernel(R, T, E, G, dot_dt, prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S // G,),
+            in_specs=[
+                pl.BlockSpec((G, 8, E), lambda s, sb, st: (s, 0, 0)),
+                pl.BlockSpec((n_blocks, kp, R), lambda s, sb, st: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m_tiles, kp, T),
+                                   lambda s, sb, st: (0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_tiles, kp, T), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * E * kp * (T + R),
+            bytes_accessed=int(L.pk.size * 4 + (m_tiles * T
+                               + n_blocks * R) * kp * 4),
+            transcendentals=0),
+        interpret=_interp(),
+    )(L.sb, L.st, L.pk, ut)
+    res = out.transpose(1, 0, 2).reshape(kp, m_tiles * T)[:k, :q]
+    return res.T.astype(B.dtype if B.dtype != jnp.bfloat16 else jnp.float32)
+
+
+def onehot_spmm(L, B: jnp.ndarray) -> jnp.ndarray:
     """L.A @ B for the strip layout (p×q) and dense B (q, k) → (p, k) f32.
 
     B is re-laid to a (m_tiles, KP, T) VMEM-resident stack per call (tiny:
     KP·q floats); the output accumulates in a (n_blocks, KP, R) stack and
-    is unpacked by XLA.
+    is unpacked by XLA. A OneHotStripsT view dispatches to the transposed
+    kernel over the same strips.
     """
+    if isinstance(L, OneHotStripsT):
+        return onehot_spmm_t(L.base, B)
     p, q = L.shape
     R, T = ROW_BLOCK, COL_TILE
     E = int(L.pk.shape[2])

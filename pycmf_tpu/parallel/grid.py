@@ -440,13 +440,24 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             # fused partials over the transposed cells psummed over ROW
             # (U's padding rows are zero); Y_j rows are LOCAL — folded in
             # on the XLA side after the psum, never reduced
-            V = fused_sigmoid_update(
+            out = fused_sigmoid_update(
                 V, Xtl, U, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.V_non_negative, use_pallas=cfg.use_pallas,
                 axis_name=ROW_AXIS, row_mask=ops.mmask,
                 yterm=Term(Yl, Z) if cfg.has_Y else None,
-                y_link=cfg.y_link)
-            return U, V, Z
+                y_link=cfg.y_link, return_phi=with_aux == "phi")
+            if with_aux == "phi":
+                # subtract the psummed kernel φ's q-axis padding-row
+                # constants (⅛ per padding X row, per VALID V row — the
+                # row_mask already zeroed padding V rows' φ), then psum
+                # the masked local sums over V's shard axis
+                V, phi_rows = out
+                pad_n = jax.lax.psum(
+                    Xtl.shape[1] - jnp.sum(ops.nmask), ROW_AXIS)
+                loc = jnp.sum(phi_rows) \
+                    - 0.125 * pad_n * jnp.sum(ops.mmask)
+                return U, V, Z, jax.lax.psum(loc, COL_AXIS)
+            return U, out, Z
         if is_chunked(Xl) and cfg.x_link == LINEAR \
                 and cfg.sg_sample_ratio >= 1.0:
             # same contract as the rows layout's chunked V branch: local
@@ -483,19 +494,27 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
             links = links + (cfg.y_link,)
             dist = dist + (False,)
             masks = masks + (None,)
+        phi_aux = with_aux == "phi"
         out = newton_update_factor(
             kV, V, terms, links, hyper, non_negative=cfg.V_non_negative,
             distributed=dist, masks=masks, axis_name=ROW_AXIS,
-            term_cache=0 if with_aux else None, **common)
-        if with_aux:
+            term_cache=0 if (with_aux and not phi_aux) else None,
+            return_phi=phi_aux, **common)
+        if phi_aux:
+            # X-side φ already psummed over ROW inside the update; mask
+            # the padding V rows, sum locally, psum over V's shard axis
+            V, phi_rows = out
+            aux = jax.lax.psum(jnp.sum(phi_rows * ops.mmask), COL_AXIS)
+        elif with_aux:
             V, aux = out
         else:
             V = out
         V = V * ops.mmask[:, None]
     if with_aux:
         assert aux is not None, \
-            "with_aux requires _grid_aux_ok_newton (linear full-batch " \
-            "X term through the generic V update)"
+            ("phi-aux requires update_V" if with_aux == "phi" else
+             "with_aux requires _grid_aux_ok_newton (linear full-batch "
+             "X term through the generic V update)")
         return U, V, Z, aux
     return U, V, Z
 
@@ -629,6 +648,45 @@ def _grid_aux_ok_newton(cfg: SolverConfig, ops: _GridOps, V) -> bool:
             and cfg.hessian_form == "gauss")
 
 
+def _aux_loss_grid_phi(cfg: SolverConfig):
+    """φ-aux eval loss, grid layout: the iter already masked padding V
+    rows, corrected the fused kernel's padding constants, psummed the X
+    side over ROW (inside the line search) and the masked row sums over
+    COL — the aux is L_X + L_Y + R(V) exactly. Add the ROW-sharded U's
+    psummed penalty and the replicated Z's once."""
+
+    def loss_fn(state, aux, hyper: Hyper):
+        _, __, U, V, Z = state
+        loss = aux + jax.lax.psum(
+            penalty(U, hyper.alpha, hyper.l1_ratio), ROW_AXIS)
+        if cfg.has_Y:
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _aux_fns_grid(cfg: SolverConfig, ops, aux):
+    from .sharded import _aux_zero_pair, _phi_zero
+
+    if aux == "phi":
+        return _aux_loss_grid_phi(cfg), _phi_zero
+    return _aux_loss_grid(cfg, ops), _aux_zero_pair
+
+
+def _grid_aux_kind(cfg: SolverConfig, ops: _GridOps, V, solver: str):
+    """None | "factored" | "phi" — the grid mirror of
+    parallel/sharded._rows_aux_kind (see solvers/newton._aux_kind)."""
+    if solver == "mu" or cfg.x_link == LINEAR:
+        ok = (_grid_aux_ok(cfg, ops, V) if solver == "mu"
+              else _grid_aux_ok_newton(cfg, ops, V))
+        return "factored" if ok else None
+    if not (cfg.update_V and cfg.line_search_trials >= 1
+            and cfg.sg_sample_ratio >= 1.0):
+        return None
+    return "phi"
+
+
 def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec,
                           aux: bool = False):
     """Whole tol loop inside shard_map: every device runs the while_loop
@@ -654,10 +712,11 @@ def _make_grid_device_fit(cfg: SolverConfig, mesh, solver: str, ospec,
             _, __, U, V, Z = state
             return _loss_grid(ops, U, V, Z, cfg, hyper)
 
+        aux_loss, aux_init = _aux_fns_grid(cfg, ops, aux)
         return device_fit_core(
             step_fn, loss_core, carry_rng=(solver != "mu"),
-            aux_loss=_aux_loss_grid(cfg, ops) if aux else None,
-            aux_init=_aux_zero_pair if aux else None)
+            aux_loss=aux_loss if aux else None,
+            aux_init=aux_init if aux else None)
 
     @partial(jax.jit, static_argnames=("max_iter", "eval_every"))
     def fit(ops, U, V, Z, hyper, rng, tol, max_iter, eval_every):
@@ -682,6 +741,7 @@ def _make_grid_block(cfg: SolverConfig, mesh, solver: str, ospec,
 
     def body(ops, U, V, Z, hyper, rng, n_steps):
         key, off = rng
+        aux_loss, aux_init = _aux_fns_grid(cfg, ops, aux)
 
         def one(i, carry):
             U, V, Z, _a = carry
@@ -695,9 +755,9 @@ def _make_grid_block(cfg: SolverConfig, mesh, solver: str, ospec,
             return out if aux else out + (_a,)
 
         U, V, Z, a = jax.lax.fori_loop(
-            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
+            0, n_steps, one, (U, V, Z, aux_init(U, V, Z)))
         if aux:
-            loss = _aux_loss_grid(cfg, ops)((ops, None, U, V, Z), a, hyper)
+            loss = aux_loss((ops, None, U, V, Z), a, hyper)
         else:
             loss = _loss_grid(ops, U, V, Z, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
@@ -803,8 +863,7 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
          else jnp.zeros((0, k), dtype=dtype))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    aux = (_grid_aux_ok(cfg, ops, V_pad) if solver == "mu"
-           else _grid_aux_ok_newton(cfg, ops, V_pad))
+    aux = _grid_aux_kind(cfg, ops, V_pad, solver)
     if loop == "device":
         fitf = _make_grid_device_fit(cfg, mesh, solver,
                                      _grid_specs(ops), aux)

@@ -343,13 +343,11 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
                 from ..utils.validation import DENSIFY_THRESHOLD
 
                 k = U0.shape[1]
+                # ONE stacked layout serves both orientations (round 5):
+                # the transposed contraction rides onehot_spmm_t over the
+                # same per-shard strips (OneHotStripsT view at use sites)
                 X_onehot = _stack_onehot_blocks(blocks, ddt,
                                                 DENSIFY_THRESHOLD, k)
-                if X_onehot is not None:
-                    Xt_onehot = _stack_onehot_blocks(tblocks, ddt,
-                                                     DENSIFY_THRESHOLD, k)
-                if Xt_onehot is None:
-                    X_onehot = Xt_onehot = None
         if not want_chunked and chunked == "auto" and X_bell is None \
                 and X_onehot is None:
             # scattered sparsity too big to densify per shard: the
@@ -499,13 +497,9 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
                 k = V0.shape[1]
                 if tblocks is None:
                     tblocks = [sp.csr_matrix(b.T) for b in blocks]
+                # one stacked layout, both orientations (see rows prep)
                 X_onehot = _stack_onehot_blocks(blocks, ddt,
                                                 DENSIFY_THRESHOLD, k)
-                if X_onehot is not None:
-                    Xt_onehot = _stack_onehot_blocks(tblocks, ddt,
-                                                     DENSIFY_THRESHOLD, k)
-                if Xt_onehot is None:
-                    X_onehot = Xt_onehot = None
         if not want_chunked and chunked == "auto" and X_bell is None \
                 and X_onehot is None:
             want_chunked = True
@@ -596,14 +590,17 @@ def _loss_rows(ops: _RowOperands, U, V, Z, mask, cfg: SolverConfig,
                 from ..ops.pallas.bell import bell_inner
 
                 inner = bell_inner(_local_bell(ops.Xt_bell), U, V)
-            elif (cfg.use_pallas and ops.Xt_onehot is not None
-                  and _oh_ok(ops.Xt_onehot, U)):
+            elif (cfg.use_pallas and ops.X_onehot is not None
+                  and _oh_ok(ops.X_onehot, U)):
                 # same transpose identity through the scattered-sparsity
-                # strip kernel: Σ((X_locᵀ U_loc) ⊙ V)
-                from ..ops.pallas.onehot import onehot_spmm
+                # strip kernel's TRANSPOSED orientation (same strips):
+                # Σ((X_locᵀ U_loc) ⊙ V)
+                from ..ops.pallas.onehot import OneHotStripsT, onehot_spmm
 
-                inner = jnp.sum(onehot_spmm(_local_onehot(ops.Xt_onehot), U)
-                                * V.astype(U.dtype))
+                inner = jnp.sum(
+                    onehot_spmm(OneHotStripsT(
+                        _local_onehot(ops.X_onehot)), U)
+                    * V.astype(U.dtype))
             elif cfg.use_pallas and ops.X_tiled is not None:
                 from ..ops.pallas.spmm import sddmm_rowdots_tiled
 
@@ -702,6 +699,50 @@ def _rows_aux_ok_newton(cfg: SolverConfig, ops: _RowOperands, U) -> bool:
     return fused_newton_u_allowed(cfg, ops.X, ops.row_sq, U)
 
 
+def _aux_loss_rows_phi(cfg: SolverConfig):
+    """Eval loss from V's accepted-candidate Σφ (solvers/newton.py φ-aux),
+    rows layout: the iter already psummed the X side inside the line
+    search and corrected the fused kernel's padding constants, so the aux
+    scalar is L_X + L_Y + R(V) exactly; add the sharded U's psummed
+    penalty and the replicated Z's."""
+
+    def loss_fn(state, aux, hyper: Hyper):
+        ops, _, U, V, Z = state
+        loss = aux + jax.lax.psum(
+            penalty(U, hyper.alpha, hyper.l1_ratio), AXIS)
+        if cfg.has_Y:
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _phi_zero(U, V, Z):
+    return jnp.zeros((), U.dtype)
+
+
+def _aux_fns_rows(cfg: SolverConfig, aux):
+    if aux == "phi":
+        return _aux_loss_rows_phi(cfg), _phi_zero
+    return _aux_loss_rows(cfg), _aux_zero_pair
+
+
+def _rows_aux_kind(cfg: SolverConfig, ops: _RowOperands, U, solver: str):
+    """None | "factored" (linear X identity) | "phi" (sigmoid X: V's
+    accepted-candidate Σφ — needs the V update, a real line search, and a
+    full batch; mirrors solvers/newton._aux_kind)."""
+    from ..ops.links import LINEAR as _LIN
+
+    if solver == "mu" or cfg.x_link == _LIN:
+        ok = (_rows_aux_ok(cfg, ops, U) if solver == "mu"
+              else _rows_aux_ok_newton(cfg, ops, U))
+        return "factored" if ok else None
+    if not (cfg.update_V and cfg.line_search_trials >= 1
+            and cfg.sg_sample_ratio >= 1.0):
+        return None
+    return "phi"
+
+
 # ---------------------------------------------------------------------------
 # MU blocks
 # ---------------------------------------------------------------------------
@@ -724,11 +765,13 @@ def _rows_x_mm(ops: _RowOperands, B, cfg, transpose: bool = False):
             from ..ops.pallas.bell import bell_spmm
 
             return bell_spmm(_local_bell(bell), B)
-        oh = ops.Xt_onehot if transpose else ops.X_onehot
-        if oh is not None:
-            from ..ops.pallas.onehot import onehot_ok, onehot_spmm
+        if ops.X_onehot is not None:
+            from ..ops.pallas.onehot import (OneHotStripsT, onehot_ok,
+                                             onehot_spmm)
 
-            ohl = _local_onehot(oh)
+            ohl = _local_onehot(ops.X_onehot)
+            if transpose:
+                ohl = OneHotStripsT(ohl)
             if onehot_ok(ohl, B.shape[1]):
                 return onehot_spmm(ohl, B)
         tiled = ops.Xt_tiled if transpose else ops.X_tiled
@@ -838,8 +881,10 @@ def _cols_local_views(ops: _ColOperands, use_pallas: bool):
             X_bl = _local_onehot(ops.X_onehot)
         if ops.Xt_bell is not None:
             Xt_bl = _local_bell(ops.Xt_bell)
-        elif ops.Xt_onehot is not None:
-            Xt_bl = _local_onehot(ops.Xt_onehot)
+        elif ops.X_onehot is not None:
+            from ..ops.pallas.onehot import OneHotStripsT
+
+            Xt_bl = OneHotStripsT(_local_onehot(ops.X_onehot))
     return Xl, Xtl, X_bl, Xt_bl
 
 
@@ -1047,6 +1092,41 @@ def _cols_aux_ok_newton(cfg: SolverConfig, ops: _ColOperands, V) -> bool:
             and cfg.hessian_form == "gauss")
 
 
+def _aux_loss_cols_phi(cfg: SolverConfig):
+    """φ-aux eval loss, cols layout: the iter masked the padding V rows
+    and psummed the per-shard Σφ (V's rows partition m), so the aux is
+    L_X + L_Y + R(V) exactly; U and Z are replicated — add their
+    penalties once."""
+
+    def loss_fn(state, aux, hyper: Hyper):
+        _, __, U, V, Z = state
+        loss = aux + penalty(U, hyper.alpha, hyper.l1_ratio)
+        if cfg.has_Y:
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _aux_fns_cols(cfg: SolverConfig, ops, aux):
+    if aux == "phi":
+        return _aux_loss_cols_phi(cfg), _phi_zero
+    return _aux_loss_cols(cfg, ops), _aux_zero_pair
+
+
+def _cols_aux_kind(cfg: SolverConfig, ops: _ColOperands, V, solver: str):
+    """None | "factored" | "phi" — the cols-layout mirror of
+    _rows_aux_kind (see solvers/newton._aux_kind for the φ-aux rules)."""
+    if solver == "mu" or cfg.x_link == LINEAR:
+        ok = (_cols_aux_ok(cfg, ops, V) if solver == "mu"
+              else _cols_aux_ok_newton(cfg, ops, V))
+        return "factored" if ok else None
+    if not (cfg.update_V and cfg.line_search_trials >= 1
+            and cfg.sg_sample_ratio >= 1.0):
+        return None
+    return "phi"
+
+
 # ---------------------------------------------------------------------------
 # Newton block (rows layout)
 # ---------------------------------------------------------------------------
@@ -1091,8 +1171,10 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             X_tl = _local_tiled(ops.X_tiled)
         if ops.Xt_bell is not None:
             Xt_tl = _local_bell(ops.Xt_bell)
-        elif ops.Xt_onehot is not None:
-            Xt_tl = _local_onehot(ops.Xt_onehot)
+        elif ops.X_onehot is not None:
+            from ..ops.pallas.onehot import OneHotStripsT
+
+            Xt_tl = OneHotStripsT(_local_onehot(ops.X_onehot))
         elif ops.Xt_tiled is not None:
             Xt_tl = _local_tiled(ops.Xt_tiled)
 
@@ -1222,12 +1304,23 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
             # over the row axis (U's padding rows are zero — see
             # fused_sigmoid_update's axis_name contract); the REPLICATED
             # Y term folds in once post-psum, identically on every shard
-            V = fused_sigmoid_update(
+            out = fused_sigmoid_update(
                 V, Xtl, U, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.V_non_negative, use_pallas=cfg.use_pallas,
                 axis_name=AXIS,
                 yterm=Term(ops.Y, Z) if cfg.has_Y else None,
-                y_link=cfg.y_link)
+                y_link=cfg.y_link, return_phi=with_aux == "phi")
+            if with_aux == "phi":
+                # the kernel φ carries the q-axis padding columns' exact
+                # σ(0)=½ constants (⅛ per padding row of X, per V row,
+                # already psummed) — subtract them to recover the true
+                # objective (fused_sigmoid_update's return_phi contract)
+                V, phi_rows = out
+                pad = jax.lax.psum(
+                    Xtl.shape[1] - jnp.sum(mask), AXIS)
+                aux = jnp.sum(phi_rows) - 0.125 * V.shape[0] * pad
+            else:
+                V = out
             terms = None
         else:
             terms = (Term(Xtl, U, Xt_tl, ops.row_sq_t[0]),)
@@ -1240,13 +1333,22 @@ def _newton_rows_iter(ops: _RowOperands, U, V, Z, mask, cfg, hyper, rng,
                 links = links + (cfg.y_link,)
                 dist = dist + (False,)
                 masks = masks + (None,)
-            V = newton_update_factor(
+            out = newton_update_factor(
                 kV, V, terms, links, hyper,
                 non_negative=cfg.V_non_negative, distributed=dist,
-                masks=masks, axis_name=AXIS, **common)
+                masks=masks, axis_name=AXIS,
+                return_phi=with_aux == "phi", **common)
+            if with_aux == "phi":
+                # V is replicated here — its per-row φ (X side psummed
+                # inside, Y side replicated) sums to the full objective
+                V, phi_rows = out
+                aux = jnp.sum(phi_rows)
+            else:
+                V = out
     if with_aux:
         assert aux is not None, \
-            "with_aux requires the fused U-pass and update_V"
+            ("phi-aux requires update_V" if with_aux == "phi" else
+             "with_aux requires the fused U-pass and update_V")
         return U, V, Z, aux
     return U, V, Z
 
@@ -1320,12 +1422,20 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng,
             # two fused passes over the local Xᵀ shard, the (small,
             # local) Y term folded in on the XLA side; padding rows die
             # on row_mask inside the kernel wrapper
-            V = fused_sigmoid_update(
+            out = fused_sigmoid_update(
                 V, Xtl, U, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.V_non_negative,
                 use_pallas=cfg.use_pallas,
                 yterm=Term(Yd, Z) if cfg.has_Y else None,
-                y_link=cfg.y_link, row_mask=mask)
+                y_link=cfg.y_link, row_mask=mask,
+                return_phi=with_aux == "phi")
+            if with_aux == "phi":
+                # row_mask already zeroed the padding rows' φ; the local
+                # sums psum to the full objective (V's rows partition m)
+                V, phi_rows = out
+                aux = jax.lax.psum(jnp.sum(phi_rows), AXIS)
+            else:
+                V = out
         else:
             kV = jax.random.fold_in(kV, jax.lax.axis_index(AXIS))
             if chunk and cfg.x_link == LINEAR \
@@ -1358,19 +1468,27 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng,
             if cfg.has_Y:
                 terms = terms + ((Yd, Z),)
                 links = links + (cfg.y_link,)
+            phi_aux = with_aux == "phi"
             out = newton_update_factor(
                 kV, V, terms, links, hyper,
                 non_negative=cfg.V_non_negative,
-                term_cache=0 if with_aux else None, **common)
-            if with_aux:
+                term_cache=0 if (with_aux and not phi_aux) else None,
+                return_phi=phi_aux, **common)
+            if phi_aux:
+                # the update is fully local here — mask the padding V
+                # rows' φ, then psum the partial sums over the m shards
+                V, phi_rows = out
+                aux = jax.lax.psum(jnp.sum(phi_rows * mask), AXIS)
+            elif with_aux:
                 V, aux = out
             else:
                 V = out
             V = V * mask[:, None]   # keep padding rows exactly zero
     if with_aux:
         assert aux is not None, \
-            "with_aux requires _cols_aux_ok_newton (linear full-batch " \
-            "X term through the generic V update)"
+            ("phi-aux requires update_V" if with_aux == "phi" else
+             "with_aux requires _cols_aux_ok_newton (linear full-batch "
+             "X term through the generic V update)")
         return U, V, Z, aux
     return U, V, Z
 
@@ -1398,10 +1516,11 @@ def _make_rows_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
         ops, _, U, V, Z = state
         return _loss_rows(ops, U, V, Z, ops.mask, cfg, hyper)
 
+    aux_loss, aux_init = _aux_fns_rows(cfg, aux)
     core = device_fit_core(
         step_fn, loss_core, carry_rng=(solver != "mu"),
-        aux_loss=_aux_loss_rows(cfg) if aux else None,
-        aux_init=_aux_zero_pair if aux else None)
+        aux_loss=aux_loss if aux else None,
+        aux_init=aux_init if aux else None)
     in_specs = (ops_specs, P(AXIS, None), P(), P(), P(), P(), P())
     out_specs = (P(AXIS, None), P(), P(), P(), P())
 
@@ -1433,10 +1552,11 @@ def _make_cols_device_fit(cfg: SolverConfig, mesh, solver: str, ops_specs,
             _, __, U, V, Z = state
             return _loss_cols(ops, U, V, Z, cfg, hyper)
 
+        aux_loss, aux_init = _aux_fns_cols(cfg, ops, aux)
         return device_fit_core(
             step_fn, loss_core, carry_rng=(solver != "mu"),
-            aux_loss=_aux_loss_cols(cfg, ops) if aux else None,
-            aux_init=_aux_zero_pair if aux else None)
+            aux_loss=aux_loss if aux else None,
+            aux_init=aux_init if aux else None)
 
     in_specs = (ops_specs, P(), P(AXIS, None), P(), P(), P(), P())
     out_specs = (P(), P(AXIS, None), P(), P(), P())
@@ -1490,6 +1610,8 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
         mask = ops.mask
         key, off = rng
 
+        aux_loss, aux_init = _aux_fns_rows(cfg, aux)
+
         def one(i, carry):
             U, V, Z, _a = carry
             k = jax.random.fold_in(key, off + i)
@@ -1502,9 +1624,9 @@ def _make_rows_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
             return out if aux else out + (_a,)
 
         U, V, Z, a = jax.lax.fori_loop(
-            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
+            0, n_steps, one, (U, V, Z, aux_init(U, V, Z)))
         if aux:
-            loss = _aux_loss_rows(cfg)((ops, None, U, V, Z), a, hyper)
+            loss = aux_loss((ops, None, U, V, Z), a, hyper)
         else:
             loss = _loss_rows(ops, U, V, Z, mask, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
@@ -1553,6 +1675,7 @@ def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
 
     def body(ops, U, V, Z, hyper, rng, n_steps):
         key, off = rng
+        aux_loss, aux_init = _aux_fns_cols(cfg, ops, aux)
 
         def one(i, carry):
             U, V, Z, _a = carry
@@ -1566,9 +1689,9 @@ def _make_cols_block(cfg: SolverConfig, mesh, solver: str, ops_specs,
             return out if aux else out + (_a,)
 
         U, V, Z, a = jax.lax.fori_loop(
-            0, n_steps, one, (U, V, Z, _aux_zero_pair(U, V, Z)))
+            0, n_steps, one, (U, V, Z, aux_init(U, V, Z)))
         if aux:
-            loss = _aux_loss_cols(cfg, ops)((ops, None, U, V, Z), a, hyper)
+            loss = aux_loss((ops, None, U, V, Z), a, hyper)
         else:
             loss = _loss_cols(ops, U, V, Z, cfg, hyper)
         return (U, V, Z), loss, (key, off + n_steps)
@@ -1660,8 +1783,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         V = jnp.asarray(V0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
-        aux = (_rows_aux_ok(cfg, ops, U_pad) if solver == "mu"
-               else _rows_aux_ok_newton(cfg, ops, U_pad))
+        aux = _rows_aux_kind(cfg, ops, U_pad, solver)
         if loop == "device":
             fitf = _make_rows_device_fit(cfg, mesh, solver,
                                          _shard_specs_rows(ops), aux)
@@ -1693,8 +1815,7 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))
         specs = _shard_specs_cols(ops)
-        aux = (_cols_aux_ok(cfg, ops, V_pad) if solver == "mu"
-               else _cols_aux_ok_newton(cfg, ops, V_pad))
+        aux = _cols_aux_kind(cfg, ops, V_pad, solver)
         if loop == "device":
             fitf = _make_cols_device_fit(cfg, mesh, solver, specs, aux)
             t0 = _time.perf_counter()

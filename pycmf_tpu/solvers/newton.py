@@ -83,9 +83,10 @@ def _layout_spmm(D, layout, B, use_pallas: bool):
             from ..ops.pallas.bell import bell_spmm
 
             return bell_spmm(layout, B)
-        from ..ops.pallas.onehot import OneHotStrips, onehot_ok, onehot_spmm
+        from ..ops.pallas.onehot import (OneHotStrips, OneHotStripsT,
+                                         onehot_ok, onehot_spmm)
 
-        if isinstance(layout, OneHotStrips):
+        if isinstance(layout, (OneHotStrips, OneHotStripsT)):
             if onehot_ok(layout, B.shape[1]):
                 return onehot_spmm(layout, B)
             return spmm(D, B)
@@ -311,7 +312,7 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
                          non_negative: bool, trials: int, hessian_form: str,
                          sample_ratio: float, use_pallas: bool = False,
                          distributed=(), masks=(), axis_name=None,
-                         term_cache=None):
+                         term_cache=None, return_phi: bool = False):
     """One batched Newton update of factor M against its coupled terms.
 
     terms: tuple of (D, B); links: matching static link names;
@@ -326,6 +327,15 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
     for a zero-extra-pass factored loss eval (the sharded layouts' aux
     loss). Only valid for full-batch linear terms (a sampled term's
     masked pair describes the subsample, not the data).
+
+    return_phi: additionally return the PER-ROW φ(M_new) — the line
+    search evaluated the accepted candidate's objective anyway, and when
+    M is the LAST factor updated in a step (V, whose φ sums every data
+    term plus its own penalty) Σφ IS the eval loss minus the other
+    factors' penalties, making loss/tol checks free of extra data passes
+    (the φ-aux; full-batch only — a sampled φ describes the subsample).
+    Returned per-row so sharded callers can mask padding rows before
+    summing/psumming (single-chip callers just sum).
     """
     p, k = M.shape
     dtype = M.dtype
@@ -423,6 +433,10 @@ def newton_update_factor(rng, M, terms, links, hyper: Hyper, *,
 
     from ..ops.linesearch import backtracking_select
 
+    if return_phi:
+        assert term_cache is None, "return_phi and term_cache are exclusive"
+        return backtracking_select(phi, project, M, d, trials,
+                                   return_phi=True)
     M_new = backtracking_select(phi, project, M, d, trials)
     if term_cache is not None:
         ctx = ctxs[term_cache]
@@ -468,7 +482,8 @@ def fused_sigmoid_allowed(cfg: SolverConfig, A, M) -> bool:
 def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
                          non_negative: bool, use_pallas: bool,
                          yterm=None, y_link: str = LINEAR,
-                         row_mask=None, axis_name=None):
+                         row_mask=None, axis_name=None,
+                         return_phi: bool = False):
     """One fused-kernel Newton update of M (p, k) against X ≈ σ(M Bᵀ),
     optionally coupled with a second XLA-evaluated term (V's Y side).
 
@@ -490,7 +505,15 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
     contribution σ(0)=½ is the same constant in every candidate slot —
     the backtracking rule compares slots, so it cancels. The elastic-net
     penalties are kept OUT of the kernels (l1=l2=0) and added exactly
-    once after the psum; a yterm is always shard-local (never psummed)."""
+    once after the psum; a yterm is always shard-local (never psummed).
+
+    return_phi: additionally return the PER-ROW φ at the selected
+    candidates (the φ-aux, see newton_update_factor; requires
+    trials >= 1). Padding rows (row_mask) are zeroed. NOTE under
+    axis_name the q-axis padding columns' constant σ(0)=½ residuals DO
+    enter each row's φ (0.125 per padding column, every slot alike) —
+    exact for selection, but callers using Σφ as a loss must subtract
+    that static constant (n_valid_rows · n_pad_cols · 0.125)."""
     from ..ops.pallas.sigmoid_newton import (sigmoid_gh_pass,
                                              sigmoid_phi_pass)
 
@@ -523,6 +546,7 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
     d = _solve_direction(H_shared, H_rows, G, use_pallas, spd=True)
 
     if trials <= 0:
+        assert not return_phi, "return_phi needs trials >= 1"
         out = M - d
         if non_negative:
             out = jnp.maximum(out, 0.0)
@@ -564,6 +588,13 @@ def fused_sigmoid_update(M, X, B, hyper: Hyper, *, trials: int,
 
     from ..ops.linesearch import backtracking_select_table
 
+    if return_phi:
+        out, phi_acc = backtracking_select_table(phis, project, M, d,
+                                                 return_phi=True)
+        if row_mask is not None:
+            out = out * row_mask[:, None]
+            phi_acc = phi_acc * row_mask
+        return out, jnp.sum(phi_acc)
     out = backtracking_select_table(phis, project, M, d)
     if row_mask is not None:
         out = out * row_mask[:, None]
@@ -589,12 +620,17 @@ def shared_gauss_hinv(V, hyper: Hyper):
 
 
 @lru_cache(maxsize=None)
-def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
+def make_newton_step(cfg: SolverConfig, with_aux=False):
     """Pure jitted Newton step: update U, then Z, then V (pinned order).
 
-    with_aux: additionally return (XᵀU_new, U_newᵀU_new) from the fused
-    U-pass so loss/tol evals need no pass over X (see _aux_loss; only
-    valid when the fused path is active — run_newton checks)."""
+    with_aux: zero-extra-pass loss machinery for the fit loops' eval/tol
+    checks. True or "factored": additionally return (XᵀU_new, U_newᵀU_new)
+    from the fused U-pass (linear X link; see _aux_loss). "phi": return
+    Σφ from V's line search at the ACCEPTED candidates — V is the last
+    factor updated, and its per-row objective sums the X term, the Y term
+    and V's own penalty, so Σφ + R(U) + R(Z) is the eval loss with no
+    extra data pass (the sigmoid-X answer; see _aux_loss_phi/_aux_kind)."""
+    phi_aux = with_aux == "phi"
 
     def step(X: Coupled, Y, U, V, Z, hyper: Hyper, rng):
         kU, kZ, kV = jax.random.split(rng, 3)
@@ -603,6 +639,7 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                       sample_ratio=cfg.sg_sample_ratio,
                       use_pallas=cfg.use_pallas)
         numv_x = gram_u = None
+        phi_sum = None
 
         from ..ops.chunked import is_chunked as _is_ck
 
@@ -725,13 +762,18 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                 # dense sigmoid fast path, transposed orientation: V's
                 # rows see X's columns — same two fused passes over Xᵀ,
                 # with the (small) Y term folded in on the XLA side
-                V = fused_sigmoid_update(
+                out = fused_sigmoid_update(
                     V, X.A.T, U, hyper, trials=cfg.line_search_trials,
                     non_negative=cfg.V_non_negative,
                     use_pallas=cfg.use_pallas,
                     yterm=(Term(Y.A, Z, Y.A_bell or Y.A_onehot or Y.A_tiled, Y.row_sq)
                            if cfg.has_Y else None),
-                    y_link=cfg.y_link)
+                    y_link=cfg.y_link, return_phi=phi_aux)
+                if phi_aux:
+                    V, phi_rows = out
+                    phi_sum = jnp.sum(phi_rows)
+                else:
+                    V = out
                 terms = None
             else:
                 terms = (Term(X.A.T, U, None, X.row_sq_t),)
@@ -741,9 +783,19 @@ def make_newton_step(cfg: SolverConfig, with_aux: bool = False):
                     terms = terms + (Term(Y.A, Z, Y.A_bell or Y.A_onehot or Y.A_tiled,
                                           Y.row_sq),)
                     links = links + (cfg.y_link,)
-                V = newton_update_factor(
+                out = newton_update_factor(
                     kV, V, terms, links, hyper,
-                    non_negative=cfg.V_non_negative, **common)
+                    non_negative=cfg.V_non_negative,
+                    return_phi=phi_aux, **common)
+                if phi_aux:
+                    V, phi_rows = out
+                    phi_sum = jnp.sum(phi_rows)
+                else:
+                    V = out
+        if phi_aux:
+            assert phi_sum is not None, \
+                "phi-aux requires the V update (see _aux_kind)"
+            return U, V, Z, phi_sum
         if with_aux:
             assert numv_x is not None, \
                 "with_aux requires the fused U-pass (see _aux_ok)"
@@ -802,6 +854,44 @@ def _aux_ok(cfg: SolverConfig, X: Coupled, U0) -> bool:
 
 
 @lru_cache(maxsize=None)
+def _aux_loss_phi(cfg: SolverConfig):
+    """Eval loss from V's accepted-candidate Σφ — no data pass at all.
+
+    V is the last factor updated (pinned U → Z → V order) and its per-row
+    line-search objective is ½‖(Xᵀ)ⱼ − f(U vⱼ)‖² + ½‖yⱼ − f(Z vⱼ)‖² +
+    l1‖vⱼ‖₁ + ½l2‖vⱼ‖², so Σⱼ φ(V_new) = L_X + L_Y + R(V) at the
+    post-step iterate exactly; only the U/Z penalties (factor-sized) are
+    added here. Works for ANY link — this is the sigmoid-X zero-extra-pass
+    eval (the linear-X case has the cheaper factored identity, _aux_loss)."""
+    from ..ops.losses import penalty
+
+    def loss_fn(state, aux, hyper: Hyper):
+        X, Y, U, V, Z = state
+        loss = aux + penalty(U, hyper.alpha, hyper.l1_ratio)
+        if cfg.has_Y:
+            loss = loss + penalty(Z, hyper.alpha, hyper.l1_ratio)
+        return loss
+
+    return loss_fn
+
+
+def _aux_kind(cfg: SolverConfig, X: Coupled, U0):
+    """Which zero-extra-pass eval-loss machinery applies (or None).
+
+    "factored": linear X link, the fused/chunked U-pass emits (XᵀU, UᵀU).
+    "phi": any other X link — V's line search evaluates the accepted
+    candidate's objective anyway. Needs the V update (the last in the
+    step), a real line search (trials ≥ 1), and a full batch (a sampled
+    φ describes the subsample, not the data)."""
+    if cfg.x_link == LINEAR:
+        return "factored" if _aux_ok(cfg, X, U0) else None
+    if not (cfg.update_V and cfg.line_search_trials >= 1
+            and cfg.sg_sample_ratio >= 1.0):
+        return None
+    return "phi"
+
+
+@lru_cache(maxsize=None)
 def _loss_core(cfg: SolverConfig):
     def loss_fn(state, hyper: Hyper):
         X, Y, U, V, Z = state
@@ -831,8 +921,19 @@ def _aux_zero(U, V, Z):
     return (jnp.zeros_like(V), jnp.zeros((k, k), U.dtype))
 
 
+def _phi_zero(U, V, Z):
+    return jnp.zeros((), U.dtype)
+
+
+def _aux_fns(cfg: SolverConfig, aux):
+    """(aux_loss, aux_init) for an _aux_kind value."""
+    if aux == "phi":
+        return _aux_loss_phi(cfg), _phi_zero
+    return _aux_loss(cfg), _aux_zero
+
+
 @lru_cache(maxsize=None)
-def _make_block(cfg: SolverConfig, aux: bool = False):
+def _make_block(cfg: SolverConfig, aux=False):
     step = make_newton_step(cfg, with_aux=aux)
 
     @partial(jax.jit, static_argnames=("n_steps",))
@@ -845,14 +946,16 @@ def _make_block(cfg: SolverConfig, aux: bool = False):
         key, off = rng
 
         if aux:
+            aux_loss, aux_init = _aux_fns(cfg, aux)
+
             def body(i, carry):
                 U, V, Z, _a = carry
                 return step(X, Y, U, V, Z, hyper,
                             jax.random.fold_in(key, off + i))
 
             U, V, Z, a = jax.lax.fori_loop(
-                0, n_steps, body, (U, V, Z, _aux_zero(U, V, Z)))
-            loss = _aux_loss(cfg)((X, Y, U, V, Z), a, hyper)
+                0, n_steps, body, (U, V, Z, aux_init(U, V, Z)))
+            loss = aux_loss((X, Y, U, V, Z), a, hyper)
         else:
             def body(i, carry):
                 U, V, Z = carry
@@ -867,7 +970,7 @@ def _make_block(cfg: SolverConfig, aux: bool = False):
 
 
 @lru_cache(maxsize=None)
-def _make_device_fit(cfg: SolverConfig, aux: bool = False):
+def _make_device_fit(cfg: SolverConfig, aux=False):
     from .common import make_device_fit_loop
 
     step = make_newton_step(cfg, with_aux=aux)
@@ -876,10 +979,11 @@ def _make_device_fit(cfg: SolverConfig, aux: bool = False):
         return step(X, Y, U, V, Z, hyper, key)
 
     if aux:
+        aux_loss, aux_init = _aux_fns(cfg, aux)
         return make_device_fit_loop(step_fn, _loss_core(cfg),
                                     carry_rng=True,
-                                    aux_loss=_aux_loss(cfg),
-                                    aux_init=_aux_zero)
+                                    aux_loss=aux_loss,
+                                    aux_init=aux_init)
     return make_device_fit_loop(step_fn, _loss_core(cfg), carry_rng=True)
 
 
@@ -891,7 +995,7 @@ def run_newton(X: Coupled, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper,
 
     from .common import amortize_step_times, finish_device_fit
 
-    aux = _aux_ok(cfg, X, U0)
+    aux = _aux_kind(cfg, X, U0)
     if loop == "device":
         fitf = _make_device_fit(cfg, aux)
         tol_s = jnp.asarray(tol, U0.dtype)

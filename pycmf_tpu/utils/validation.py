@@ -205,18 +205,17 @@ def as_coupled(A, dtype, use_pallas: bool = False,
         if A_bell is None and kernel_enabled("onehot_spmm"):
             # Scattered sparsity (bell refused or disabled): one-hot strip
             # SpMM (ops/pallas/onehot.py) — ~13× the segment-sum floor at
-            # 20NG density. Both orientations or neither (the solvers
-            # need XV and XᵀU at matched precision).
-            from ..ops.pallas.onehot import onehot_from_scipy
+            # 20NG density. ONE layout serves both orientations (round 5):
+            # the strips carry both local indices, so XᵀU runs through the
+            # transposed kernel over the same packed strips — half the
+            # host packing and half the HBM of the round-4 dual layout.
+            from ..ops.pallas.onehot import (OneHotStripsT,
+                                             onehot_from_scipy)
 
             A_onehot = onehot_from_scipy(A, dtype=dtype,
                                          max_bytes=densify_threshold)
             if A_onehot is not None:
-                At_onehot = onehot_from_scipy(
-                    sp.csr_matrix(A).T.tocsr(), dtype=dtype,
-                    max_bytes=densify_threshold)
-            if A_onehot is None or At_onehot is None:
-                A_onehot = At_onehot = None
+                At_onehot = OneHotStripsT(A_onehot)
         if (kernel_enabled("bell_spmm") and A_bell is None
                 and A_onehot is None):
             import warnings

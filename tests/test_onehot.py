@@ -45,6 +45,38 @@ class TestKernelOracle:
         got = np.asarray(onehot_spmm(Lt, jnp.asarray(M)))
         np.testing.assert_allclose(got, A.T @ M, rtol=2e-6, atol=1e-5)
 
+    def test_transposed_view_same_strips(self, rng):
+        """Round 5: OneHotStripsT runs Aᵀ @ B from A's OWN strips (the
+        transposed kernel) — no second layout. Oracle = scipy."""
+        from pycmf_tpu.ops.pallas.onehot import OneHotStripsT
+
+        A = _rand_csr(rng, 600, 450, 0.02)
+        L = onehot_from_scipy(A, jnp.float32)
+        M = rng.randn(600, 12).astype(np.float32)
+        got = np.asarray(onehot_spmm(OneHotStripsT(L), jnp.asarray(M)))
+        np.testing.assert_allclose(got, A.T @ M, rtol=2e-6, atol=1e-5)
+        assert OneHotStripsT(L).shape == (450, 600)
+        assert onehot_ok(OneHotStripsT(L), 12) == onehot_ok(L, 12)
+
+    def test_as_coupled_builds_one_layout(self, rng):
+        """as_coupled's transposed orientation is a VIEW of the forward
+        strips — half the host packing and HBM of the round-4 dual
+        layout."""
+        from pycmf_tpu.ops.pallas.onehot import OneHotStripsT
+        from pycmf_tpu.utils.validation import as_coupled
+
+        A = _rand_csr(rng, 300, 220, 0.02)
+        import os
+        os.environ["PYCMF_TPU_KERNEL_BELL_SPMM"] = "0"
+        try:
+            C = as_coupled(A, jnp.float32, use_pallas=True,
+                           sparse_mode="csr")
+        finally:
+            del os.environ["PYCMF_TPU_KERNEL_BELL_SPMM"]
+        assert C.A_onehot is not None
+        assert isinstance(C.At_onehot, OneHotStripsT)
+        assert C.At_onehot.base is C.A_onehot
+
     def test_bf16_storage_quantizes_values(self, rng):
         """Packed values reproduce what a bf16-densified copy contracts."""
         A = _rand_csr(rng, 300, 200, 0.05)

@@ -366,24 +366,41 @@ class TestColsAuxLoss:
         # initial_loss_fn); every eval-point loss comes from the aux pair
         assert len(calls) == 1
 
-    def test_sigmoid_x_disqualifies_aux(self, rng, monkeypatch):
-        """The factored identity needs a linear x_link — sigmoid-X fits
-        must fall back to the full eval loss at every eval point."""
+    def test_sigmoid_x_uses_phi_aux(self, rng, monkeypatch):
+        """Round 5 (VERDICT r04 #2): a sigmoid x_link no longer re-streams
+        X at eval points — the V update's accepted-candidate Σφ IS the
+        eval loss (φ-aux), so `_loss_cols` runs exactly once (L0).
+        Trajectory parity with the single-chip fit is asserted by
+        TestColsLayout::test_newton_sigmoid_x_matches_single_device."""
         calls = self._count_loss_cols(monkeypatch)
         X, Y = make_problem(rng, n=24, m=61, non_negative=False)
         X = (X > np.median(X)).astype(float)
-        _fit_pair(X, Y, rng, solver="newton", layout="cols", max_iter=10,
-                  eval_every=5, x_link="sigmoid", U_non_negative=False,
-                  V_non_negative=False, Z_non_negative=False)
-        assert len(calls) >= 2   # L0 + per-eval-block losses
+        m1, m2 = _fit_pair(X, Y, rng, solver="newton", layout="cols",
+                           max_iter=10, eval_every=5, x_link="sigmoid",
+                           U_non_negative=False, V_non_negative=False,
+                           Z_non_negative=False)
+        assert len(calls) == 1   # the initial L0 only
+        assert np.allclose(m1.loss_history_, m2.loss_history_, rtol=1e-8)
 
     def test_sampled_newton_disqualifies_aux(self, rng, monkeypatch):
-        """A sampled V term's (DB, BtB) describe the subsample, not the
-        data — stochastic Newton must keep the exact eval loss."""
+        """A sampled V term's (DB, BtB) — or its φ — describe the
+        subsample, not the data: stochastic Newton must keep the exact
+        eval loss (both aux kinds gate off)."""
         calls = self._count_loss_cols(monkeypatch)
         X, Y = make_problem(rng, n=40, m=67)
         _fit_pair(X, Y, rng, solver="newton", layout="cols", max_iter=10,
                   eval_every=5, sg_sample_ratio=0.5, random_state=0)
+        assert len(calls) >= 2
+
+    def test_sampled_sigmoid_newton_disqualifies_phi_aux(self, rng,
+                                                         monkeypatch):
+        calls = self._count_loss_cols(monkeypatch)
+        X, Y = make_problem(rng, n=24, m=61, non_negative=False)
+        X = (X > np.median(X)).astype(float)
+        _fit_pair(X, Y, rng, solver="newton", layout="cols", max_iter=10,
+                  eval_every=5, x_link="sigmoid", sg_sample_ratio=0.5,
+                  random_state=0, U_non_negative=False,
+                  V_non_negative=False, Z_non_negative=False)
         assert len(calls) >= 2
 
     @pytest.mark.parametrize("solver", ["mu", "newton"])
