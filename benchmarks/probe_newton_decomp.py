@@ -1,0 +1,144 @@
+"""Newton bench-config roofline decomposition (round-4 VERDICT #5).
+
+The bench Newton mix (linear X, sigmoid Y, all non-negative, k=20,
+X 30000x11314 bf16, Y 11314x20) measured ~2.44 ms/iter in BENCH_r04
+(0.122 s / 50 iters). Its data floor is ONE X pass per iteration: the
+fused linear U-pass emits XtU_new/UtU_new in the same pass and the V
+update consumes those accumulators, so X streams once (679 MB bf16 ~
+1.1 ms at MU's achieved ~620 GB/s); Y is 0.45 MB — noise. Where do the
+other ~1.3 ms go?
+
+Method: time the full jitted step, then steps with update_{U,Z,V}
+toggled; differences attribute per-factor cost. Anchors: one raw bf16
+X pass (the HBM floor) and the batched k x k Cholesky solve at V's row
+count (the V update's only O(m k^2) non-matmul piece).
+
+Results land in docs/PERFORMANCE.md ("Newton per-iteration
+decomposition").
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+try:
+    from pycmf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+except Exception:  # noqa: BLE001
+    pass
+
+K = 20
+SEED = 0
+REPS = 20
+
+
+def timed(fn, *args):
+    out = jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / REPS, out
+
+
+def main():
+    from pycmf_tpu.solvers.common import SolverConfig, make_hyper
+    from pycmf_tpu.solvers.newton import make_newton_step
+    from pycmf_tpu.utils.datasets import synthetic_20ng
+    from pycmf_tpu.utils.init import initialize_factors
+    from pycmf_tpu.utils.validation import as_coupled
+
+    X, Y = synthetic_20ng(random_state=SEED)
+    n, m = X.shape
+    r = Y.shape[1]
+    U0, V0, Z0 = initialize_factors(
+        X, Y, K, x_init="random", y_init="random", random_state=SEED)
+    use_pallas = jax.default_backend() == "tpu"
+
+    dd = jnp.bfloat16
+    Xc = as_coupled(X, dd)
+    Yc = as_coupled(Y, dd)
+    U = jnp.asarray(U0, jnp.float32)
+    V = jnp.asarray(V0, jnp.float32)
+    Z = jnp.asarray(Z0, jnp.float32)
+    hyper = make_hyper(dtype=jnp.float32)
+    key = jax.random.PRNGKey(SEED)
+    print(f"X {X.shape} ({n * m * 2 / 1e6:.0f} MB bf16), Y {Y.shape}",
+          flush=True)
+
+    def make_loop(cfg):
+        step = make_newton_step(cfg)
+
+        @jax.jit
+        def loop(Xc, Yc, U, V, Z, hyper, key):
+            def body(i, c):
+                u, v, z = c
+                u, v, z = step(Xc, Yc, u, v, z, hyper,
+                               jax.random.fold_in(key, i))
+                return (u, v, z)
+            return jax.lax.fori_loop(0, REPS, body, (U, V, Z))
+
+        return loop
+
+    base = dict(y_link="sigmoid", use_pallas=use_pallas)
+    variants = [
+        ("full step (bench mix)", SolverConfig(**base)),
+        ("U only", SolverConfig(**base, update_V=False, update_Z=False)),
+        ("U+Z", SolverConfig(**base, update_V=False)),
+        ("U+V", SolverConfig(**base, update_Z=False)),
+    ]
+    times = {}
+    for name, cfg in variants:
+        sec, _ = timed(make_loop(cfg), Xc, Yc, U, V, Z, hyper, key)
+        times[name] = sec
+        print(f"{name:24s}: {sec * 1e3:7.3f} ms/iter", flush=True)
+    print(f"{'Z attribution (U+Z - U)':24s}: "
+          f"{(times['U+Z'] - times['U only']) * 1e3:7.3f} ms", flush=True)
+    print(f"{'V attribution (full-U-Z)':24s}: "
+          f"{(times['full step (bench mix)'] - times['U+Z']) * 1e3:7.3f} ms",
+          flush=True)
+    print(f"{'V attribution (U+V - U)':24s}: "
+          f"{(times['U+V'] - times['U only']) * 1e3:7.3f} ms", flush=True)
+
+    # ---- anchors ---------------------------------------------------------
+    Xd = Xc.A  # dense bf16 device copy
+
+    @jax.jit
+    def raw_pass(Xd, Vd):
+        def body(_, acc):
+            return acc + jnp.dot(Xd, Vd, preferred_element_type=jnp.float32)
+        return jax.lax.fori_loop(0, REPS, body,
+                                 jnp.zeros((n, K), jnp.float32))
+
+    sec, _ = timed(raw_pass, Xd, V.astype(dd))
+    print(f"{'raw one-pass XV bf16':24s}: {sec * 1e3:7.3f} ms/iter "
+          f"({n * m * 2 / sec / 1e9:.0f} GB/s)", flush=True)
+
+    from pycmf_tpu.ops.pallas.batched_solve import batched_spd_solve
+
+    Hb = jnp.tile((jnp.eye(K) * 3.0 + 0.1)[None], (m, 1, 1))
+    Gb = jnp.asarray(np.random.RandomState(0).randn(m, K), jnp.float32)
+
+    @jax.jit
+    def solve_loop(Hb, Gb):
+        def body(_, acc):
+            return acc + batched_spd_solve(Hb, Gb)
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros_like(Gb))
+
+    try:
+        sec, _ = timed(solve_loop, Hb, Gb)
+        print(f"{'batched solve (m,k,k)':24s}: {sec * 1e3:7.3f} ms/iter",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"batched solve anchor failed: {type(e).__name__}: "
+              f"{str(e)[:90]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

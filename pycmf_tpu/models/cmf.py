@@ -405,28 +405,19 @@ class CMF(BaseEstimator, TransformerMixin):
                     f"X stays CSR under sparse_mode={self.sparse_mode!r}; "
                     "use sparse_mode='dense' (or 'auto' below the densify "
                     "threshold)")
-        if self.solver == "newton":
-            # Sigmoid-linked sparse X resolves per-matrix (see
-            # _matrix_sparse_mode); the sharded runners own the 'dense'
-            # host-densify. A sigmoid-linked sparse Y on the ROWS layout
-            # (where Y is replicated) passes through: _prepare_rows
-            # device-densifies it when the dense copy fits the threshold,
-            # else streams it as chunked-COO (no dense Y ever exists, on
-            # host or device). The cols/grid layouts shard Y itself, so a
-            # sparse sigmoid Y still densifies here before splitting —
-            # fine for label matrices; for a big sparse Y use
-            # shard_layout='rows'.
-            ns = self._resolve_n_shards()
-            sharded = ns is not None and ns > 1
-            if sharded and Y is not None and sp.issparse(Y) \
-                    and self.y_link == "sigmoid" \
-                    and self.shard_layout != "rows":
-                Y = np.asarray(Y.todense())
-            # sg_sample_ratio < 1 on CSR/chunked matrices runs via masked
-            # sampling (solvers/newton.sample_mask — the same draw as the
-            # dense path's gather, entering as a 0/1 mask) on every
-            # layout, including the sharded streamed passes; no
-            # validation restriction.
+        # Sigmoid-linked sparse X resolves per-matrix (see
+        # _matrix_sparse_mode); the sharded runners own the 'dense'
+        # host-densify. A sigmoid-linked sparse Y never densifies on the
+        # host on ANY layout (round 5 closed the cols/grid asymmetry):
+        # rows replicates it (device-densify below the threshold, else
+        # the chunked-COO carrier); cols/grid shard Y's rows with m, so
+        # each shard streams its local row slice through the same carrier
+        # (_prepare_cols / _prepare_grid own the policy).
+        # sg_sample_ratio < 1 on CSR/chunked matrices runs via masked
+        # sampling (solvers/newton.sample_mask — the same draw as the
+        # dense path's gather, entering as a 0/1 mask) on every layout,
+        # including the sharded streamed passes; no validation
+        # restriction.
         return X, Y
 
     def _run(self, Xc, Yc, U0, V0, Z0, cfg, rng):

@@ -86,7 +86,10 @@ def _grid_specs(ops: _GridOps) -> _GridOps:
     def cell_spec(x):
         return None if x is None else P(ROW_AXIS, COL_AXIS)
 
-    return _GridOps(P(ROW_AXIS, COL_AXIS), P(COL_AXIS, None), P(),
+    from ..ops.chunked import is_chunked
+
+    y_spec = P(COL_AXIS) if is_chunked(ops.Y) else P(COL_AXIS, None)
+    return _GridOps(P(ROW_AXIS, COL_AXIS), y_spec, P(),
                     P(ROW_AXIS), P(COL_AXIS),
                     P(ROW_AXIS, COL_AXIS), P(COL_AXIS, ROW_AXIS),
                     cell_spec(ops.Xt), cell_spec(ops.X_bell),
@@ -171,7 +174,7 @@ def _grid_local_bells(ops: _GridOps):
 
 def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
                   sparse_cells: str = "csr", use_pallas: bool = False,
-                  chunk_ok: bool = False):
+                  chunk_ok: bool = False, y_link: str = LINEAR):
     """data_dtype: storage dtype for the X/Y blocks (None = dtype); bf16
     halves each cell's HBM data-pass traffic while factors, masks, and
     norms stay at ``dtype``/f32 (same contract as _prepare_rows).
@@ -278,7 +281,37 @@ def _prepare_grid(X, Y, U0, V0, r, c, dtype, data_dtype=None,
         # zero-column placeholder: shard_map specs stay uniform and the
         # cfg.has_Y gate keeps it out of every computation
         Yd = jnp.zeros((m_pad, 0), dtype=yddt)
+    elif sp.issparse(Y) and y_link != LINEAR:
+        # sigmoid-linked sparse Y never densifies on the host (round-5
+        # VERDICT #4): Y's rows are the COL-sharded m axis — below the
+        # threshold scatter_densify (nnz-only upload), above it (or
+        # sparse_cells='chunked') each COL slice rides the chunked-COO
+        # carrier, replicated over ROW (spec P(COL) in _grid_specs)
+        from ..utils.validation import DENSIFY_THRESHOLD, scatter_densify
+
+        Yp = sp.csr_matrix(Y)
+        if Yp.shape[0] < m_pad:
+            Yp = sp.vstack([Yp, sp.csr_matrix(
+                (m_pad - Yp.shape[0], Yp.shape[1]))]).tocsr()
+        y_bytes = m_pad * Y.shape[1] * jnp.dtype(yddt).itemsize
+        if sparse_cells == "chunked" or y_bytes > DENSIFY_THRESHOLD:
+            from ..ops.chunked import stack_chunked_blocks
+
+            Yd = stack_chunked_blocks(
+                [Yp[j * m_loc:(j + 1) * m_loc] for j in range(c)], yddt)
+        else:
+            Yd = scatter_densify(Yp, yddt)
     else:
+        if sp.issparse(Y):
+            import warnings
+
+            warnings.warn(
+                "shard_layout='grid' stores a LINEAR-linked sparse Y as "
+                "dense COL-sharded blocks; the sparse Y was densified on "
+                f"the host ({Y.shape[0]}x{Y.shape[1]}). Fine for label "
+                "matrices; for a large sparse Y use shard_layout='rows'.",
+                UserWarning, stacklevel=3)
+            Y = np.asarray(Y.todense())
         Yh = np.zeros((m_pad, Y.shape[1]))
         Yh[:m] = np.asarray(Y)
         Yd = jnp.asarray(Yh, dtype=yddt)
@@ -395,7 +428,14 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                   hessian_form=cfg.hessian_form,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
-    Yl = ops.Y
+    from ..ops.chunked import is_chunked as _icky
+    from ..ops.chunked import local_chunked as _lck
+
+    # chunked sigmoid-Y carrier (round-5 VERDICT #4): each COL shard
+    # streams its local Y row slice — Z via the transposed orientation,
+    # V's Y-term forward (replicated over ROW)
+    y_chunk = _icky(ops.Y)
+    Yl = _lck(ops.Y) if y_chunk else ops.Y
     Xl, Xtl = _grid_local_x(ops)
     X_bl, Xt_bl = _grid_local_bells(ops)
     xmask = ops.mmask if cfg.x_link != LINEAR else None
@@ -420,14 +460,18 @@ def _newton_grid_iter(ops: _GridOps, U, V, Z, cfg: SolverConfig,
                 masks=(xmask,), axis_name=COL_AXIS, **common)
             U = U * ops.nmask[:, None]  # keep padding rows exactly zero
     if cfg.has_Y and cfg.update_Z:
-        if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, Yl, Z):
+        if cfg.y_link != LINEAR and not y_chunk \
+                and fused_sigmoid_allowed(cfg, Yl, Z):
             Z = fused_sigmoid_update(
                 Z, Yl.T, V, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas,
                 axis_name=COL_AXIS)
         else:
+            from ..ops.chunked import ChunkedT
+
+            Yt = ChunkedT(Yl) if y_chunk else Yl.T
             Z = newton_update_factor(
-                kZ, Z, ((Yl.T, V),), (cfg.y_link,), hyper,
+                kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, distributed=(True,),
                 masks=(ymask,), axis_name=COL_AXIS, **common)
     aux = None
@@ -570,15 +614,25 @@ def _loss_grid(ops: _GridOps, U, V, Z, cfg: SolverConfig, hyper: Hyper):
     loss = loss + jax.lax.psum(
         penalty(V, hyper.alpha, hyper.l1_ratio), COL_AXIS)
     if cfg.has_Y:
-        Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
-        if cfg.y_link == LINEAR:
-            y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
-            y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
-            y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        if is_chunked(Yl):
+            # streamed chunked sigmoid-Y carrier (linear Y never chunks)
+            from ..ops.chunked import local_chunked
+            from ..ops.losses import _sigmoid_term as _sig
+
+            y_term = jax.lax.psum(
+                _sig(local_chunked(Yl), V, Z, ops.mmask), COL_AXIS)
         else:
-            R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
-            y_term = 0.5 * jax.lax.psum(
-                jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
+            Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
+            if cfg.y_link == LINEAR:
+                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
+                y_inner = jax.lax.psum(
+                    jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
+                y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                + jnp.sum(gV * gram(Z)))
+            else:
+                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                y_term = 0.5 * jax.lax.psum(
+                    jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
 
@@ -605,18 +659,27 @@ def _aux_loss_grid(cfg: SolverConfig, ops: _GridOps):
         loss = loss + jax.lax.psum(
             penalty(V, hyper.alpha, hyper.l1_ratio), COL_AXIS)
         if cfg.has_Y:
+            from ..ops.chunked import is_chunked as _icky
+
             Yl = ops.Y
-            Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
-            if cfg.y_link == LINEAR:
-                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
-                y_inner = jax.lax.psum(
-                    jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
-                y_term = 0.5 * (y_sq - 2.0 * y_inner
-                                + jnp.sum(gV * gram(Z)))
+            if _icky(Yl):
+                from ..ops.chunked import local_chunked
+                from ..ops.losses import _sigmoid_term as _sig
+
+                y_term = jax.lax.psum(
+                    _sig(local_chunked(Yl), V, Z, ops.mmask), COL_AXIS)
             else:
-                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
-                y_term = 0.5 * jax.lax.psum(
-                    jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
+                Yf = Yl.astype(U.dtype) if Yl.dtype != U.dtype else Yl
+                if cfg.y_link == LINEAR:
+                    y_sq = jax.lax.psum(jnp.sum(Yf * Yf), COL_AXIS)
+                    y_inner = jax.lax.psum(
+                        jnp.sum(matmul(Yf.T, V) * Z), COL_AXIS)
+                    y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                    + jnp.sum(gV * gram(Z)))
+                else:
+                    R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                    y_term = 0.5 * jax.lax.psum(
+                        jnp.sum(ops.mmask[:, None] * R * R), COL_AXIS)
             loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
         return loss
 
@@ -839,8 +902,10 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
                 # streamed chunked layout when the solver allows it
                 # (2.4× segment-sum CSR), then segment-sum CSR
                 sparse_cells = "auto"
-    if Y is not None and sp.issparse(Y):
-        Y = np.asarray(Y.todense())
+    # a sparse Y passes through to _prepare_grid, which owns the policy:
+    # sigmoid link never densifies on the host (scatter_densify below the
+    # threshold, the chunked-COO carrier above it); linear link densifies
+    # with a warning (dense COL-sharded blocks are its only layout here)
     if data_dtype is not None and data_dtype in FP8_DTYPES:
         # fp8 is the dense fused-kernel fast path only — same rule as
         # as_coupled / run_sharded (per-cell CSR/BlockEll/chunked layouts
@@ -857,7 +922,8 @@ def run_grid(X, Y, U0, V0, Z0, cfg: SolverConfig, hyper: Hyper, *,
                                             data_dtype=data_dtype,
                                             sparse_cells=sparse_cells,
                                             use_pallas=cfg.use_pallas,
-                                            chunk_ok=chunk_ok)
+                                            chunk_ok=chunk_ok,
+                                            y_link=cfg.y_link)
     k = U_pad.shape[1]
     Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
          else jnp.zeros((0, k), dtype=dtype))

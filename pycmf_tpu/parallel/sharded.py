@@ -441,14 +441,23 @@ def _prepare_rows(X, Y, U0, d, dtype, use_pallas: bool = False,
 
 
 def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
-                  data_dtype=None, chunked: str = "never"):
+                  data_dtype=None, chunked: str = "never",
+                  y_link: str = LINEAR):
     """Split the shared dimension m into d blocks (layout B).
 
     Returns (ops, V_pad, m): ops.mask is (m_pad,) with 1.0 on real
     shared-dimension entries (sigmoid terms need it; linear terms are exact
     no-ops under zero padding). data_dtype / chunked: see _prepare_rows
     (here the streamed layout row-chunks each shard's (n, m_loc) column
-    slice — both MU numerators and the Newton linear terms stream it)."""
+    slice — both MU numerators and the Newton linear terms stream it).
+
+    y_link: a SIGMOID-linked sparse Y (whose rows ARE the sharded m axis
+    here) never densifies on the host (round-5 VERDICT #4): below the
+    densify threshold it device-densifies via scatter_densify (nnz-only
+    upload), above it (or under chunked='force') each shard's row slice
+    rides the per-shard chunked-COO carrier — the same streamed sigmoid
+    term machinery X uses, with Z consuming the transposed orientation
+    and V's Y-term the forward one."""
     ddt = dtype if data_dtype is None else data_dtype
     n, m = X.shape
     m_loc = -(-m // d)
@@ -535,24 +544,41 @@ def _prepare_cols(X, Y, V0, d, dtype, use_pallas: bool = False,
         rst = np.stack([(Xh[:, i * m_loc:(i + 1) * m_loc] ** 2).sum(axis=0)
                         for i in range(d)])
 
+    yddt = jnp.bfloat16 if ddt in FP8_DTYPES else ddt  # same rule as rows
     if Y is None:
         Yd = None
+    elif sp.issparse(Y) and y_link != LINEAR:
+        from ..utils.validation import DENSIFY_THRESHOLD, scatter_densify
+
+        Yp = sp.csr_matrix(Y)
+        if Yp.shape[0] < m_pad:   # pad empty rows to the sharded m
+            Yp = sp.vstack([Yp, sp.csr_matrix(
+                (m_pad - Yp.shape[0], Yp.shape[1]))]).tocsr()
+        y_bytes = m_pad * Y.shape[1] * jnp.dtype(yddt).itemsize
+        if chunked == "force" or y_bytes > DENSIFY_THRESHOLD:
+            from ..ops.chunked import stack_chunked_blocks
+
+            yblocks = [Yp[i * m_loc:(i + 1) * m_loc] for i in range(d)]
+            Yd = stack_chunked_blocks(yblocks, yddt)
+        else:
+            # device-side densify: only the nnz cross the host link and
+            # no dense Y ever exists on the host (mirrors _prepare_rows)
+            Yd = scatter_densify(Yp, yddt)
     else:
         if sp.issparse(Y):
             import warnings
 
             warnings.warn(
-                "shard_layout='cols' stores Y as a dense row-sharded block "
-                "on each device; the sparse Y was densified on the host "
-                f"({Y.shape[0]}x{Y.shape[1]}). Fine for label matrices; for "
-                "a large sparse Y use shard_layout='rows' (keeps Y CSR).",
+                "shard_layout='cols' stores a LINEAR-linked sparse Y as a "
+                "dense row-sharded block on each device; the sparse Y was "
+                f"densified on the host ({Y.shape[0]}x{Y.shape[1]}). Fine "
+                "for label matrices; for a large sparse Y use "
+                "shard_layout='rows' (keeps Y CSR).",
                 UserWarning, stacklevel=3)
             Y = np.asarray(Y.todense())
         Yh = np.zeros((m_pad, Y.shape[1]), dtype=np.float64)
         Yh[:m] = np.asarray(Y)
-        # fp8 X keeps Y at bf16 (same rule as _prepare_rows)
-        Yd = jnp.asarray(
-            Yh, dtype=jnp.bfloat16 if ddt in FP8_DTYPES else ddt)
+        Yd = jnp.asarray(Yh, dtype=yddt)
 
     V_pad = np.zeros((m_pad, V0.shape[1]), dtype=np.float64)
     V_pad[:m] = V0
@@ -1005,15 +1031,24 @@ def _loss_cols(ops: _ColOperands, U, V, Z, cfg, hyper):
     loss = x_term + penalty(U, hyper.alpha, hyper.l1_ratio)
     loss = loss + jax.lax.psum(penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
     if cfg.has_Y:
-        Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
-        if cfg.y_link == LINEAR:
-            y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
-            y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), AXIS)
-            y_term = 0.5 * (y_sq - 2.0 * y_inner + jnp.sum(gV * gram(Z)))
+        if is_chunked(Yd):
+            # streamed chunked sigmoid-Y carrier (linear Y never chunks)
+            from ..ops.chunked import local_chunked
+            from ..ops.losses import _sigmoid_term
+
+            y_term = jax.lax.psum(
+                _sigmoid_term(local_chunked(Yd), V, Z, mask), AXIS)
         else:
-            R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
-            y_term = 0.5 * jax.lax.psum(
-                jnp.sum(mask[:, None] * R * R), AXIS)
+            Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
+            if cfg.y_link == LINEAR:
+                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
+                y_inner = jax.lax.psum(jnp.sum(matmul(Yf.T, V) * Z), AXIS)
+                y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                + jnp.sum(gV * gram(Z)))
+            else:
+                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                y_term = 0.5 * jax.lax.psum(
+                    jnp.sum(mask[:, None] * R * R), AXIS)
         loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
     return loss
 
@@ -1048,18 +1083,30 @@ def _aux_loss_cols(cfg: SolverConfig, ops: _ColOperands):
         loss = loss + jax.lax.psum(
             penalty(V, hyper.alpha, hyper.l1_ratio), AXIS)
         if cfg.has_Y:
+            from ..ops.chunked import is_chunked as _ick
+
             Yd = ops.Y
-            Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
-            if cfg.y_link == LINEAR:
-                y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
-                y_inner = jax.lax.psum(
-                    jnp.sum(matmul(Yf.T, V) * Z), AXIS)
-                y_term = 0.5 * (y_sq - 2.0 * y_inner
-                                + jnp.sum(gV * gram(Z)))
+            if _ick(Yd):
+                # streamed chunked sigmoid-Y carrier (factored x-aux
+                # stays valid — the Y term just streams its chunks)
+                from ..ops.chunked import local_chunked
+                from ..ops.losses import _sigmoid_term
+
+                y_term = jax.lax.psum(
+                    _sigmoid_term(local_chunked(Yd), V, Z, ops.mask),
+                    AXIS)
             else:
-                R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
-                y_term = 0.5 * jax.lax.psum(
-                    jnp.sum(ops.mask[:, None] * R * R), AXIS)
+                Yf = Yd.astype(V.dtype) if Yd.dtype != V.dtype else Yd
+                if cfg.y_link == LINEAR:
+                    y_sq = jax.lax.psum(jnp.sum(Yf * Yf), AXIS)
+                    y_inner = jax.lax.psum(
+                        jnp.sum(matmul(Yf.T, V) * Z), AXIS)
+                    y_term = 0.5 * (y_sq - 2.0 * y_inner
+                                    + jnp.sum(gV * gram(Z)))
+                else:
+                    R = Yf - jax.nn.sigmoid(matmul(V, Z.T))
+                    y_term = 0.5 * jax.lax.psum(
+                        jnp.sum(ops.mask[:, None] * R * R), AXIS)
             loss = loss + y_term + penalty(Z, hyper.alpha, hyper.l1_ratio)
         return loss
 
@@ -1375,7 +1422,14 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng,
                   sample_ratio=cfg.sg_sample_ratio,
                   use_pallas=cfg.use_pallas)
     mask = ops.mask
-    Yd = ops.Y
+    from ..ops.chunked import is_chunked as _ick
+    from ..ops.chunked import local_chunked
+
+    # chunked sigmoid-Y carrier (round-5 VERDICT #4): Y's rows are the
+    # sharded m axis here, so each shard streams its LOCAL row slice —
+    # Z via the transposed orientation below, V's Y-term forward
+    y_chunk = _ick(ops.Y)
+    Yd = local_chunked(ops.Y) if y_chunk else ops.Y
     Xl, Xtl, X_bl, Xt_bl = _cols_local_views(ops, cfg.use_pallas)
     xmask = mask if cfg.x_link != LINEAR else None
     ymask = mask if cfg.y_link != LINEAR else None
@@ -1399,14 +1453,18 @@ def _newton_cols_iter(ops: _ColOperands, U, V, Z, cfg, hyper, rng,
                 non_negative=cfg.U_non_negative, distributed=(True,),
                 masks=(xmask,), axis_name=AXIS, **common)
     if cfg.has_Y and cfg.update_Z:
-        if cfg.y_link != LINEAR and fused_sigmoid_allowed(cfg, Yd, Z):
+        if cfg.y_link != LINEAR and not y_chunk \
+                and fused_sigmoid_allowed(cfg, Yd, Z):
             Z = fused_sigmoid_update(
                 Z, Yd.T, V, hyper, trials=cfg.line_search_trials,
                 non_negative=cfg.Z_non_negative, use_pallas=cfg.use_pallas,
                 axis_name=AXIS)
         else:
+            from ..ops.chunked import ChunkedT
+
+            Yt = ChunkedT(Yd) if y_chunk else Yd.T
             Z = newton_update_factor(
-                kZ, Z, ((Yd.T, V),), (cfg.y_link,), hyper,
+                kZ, Z, ((Yt, V),), (cfg.y_link,), hyper,
                 non_negative=cfg.Z_non_negative, distributed=(True,),
                 masks=(ymask,), axis_name=AXIS, **common)
     aux = None
@@ -1658,7 +1716,8 @@ def _shard_specs_cols(ops: _ColOperands):
     x_spec = (P(AXIS) if is_sparse(ops.X) or is_chunked(ops.X)
               else P(None, AXIS))
     xt_spec = None if ops.Xt is None else P(AXIS)
-    y_spec = None if ops.Y is None else P(AXIS, None)
+    y_spec = (None if ops.Y is None
+              else P(AXIS) if is_chunked(ops.Y) else P(AXIS, None))
     xb_spec = None if ops.X_bell is None else P(AXIS)
     xtb_spec = None if ops.Xt_bell is None else P(AXIS)
     xo_spec = None if ops.X_onehot is None else P(AXIS)
@@ -1810,7 +1869,8 @@ def run_sharded(solver: str, X, Y, U0, V0, Z0, cfg: SolverConfig,
         ops, V_pad, m = _prepare_cols(X, Y, V0, d, dtype,
                                       use_pallas=cfg.use_pallas,
                                       data_dtype=data_dtype,
-                                      chunked=chunked)
+                                      chunked=chunked,
+                                      y_link=cfg.y_link)
         U = jnp.asarray(U0, dtype=dtype)
         Z = (jnp.asarray(Z0, dtype=dtype) if Z0 is not None and cfg.has_Y
              else jnp.zeros((0, k), dtype=dtype))

@@ -127,10 +127,43 @@ class TestChunkedSigmoidY:
         ma = _fit(X, Ys, inits)          # sparse_mode default 'auto'
         _assert_match(md, ma, rtol=1e-12)
 
-    def test_cols_layout_keeps_densify(self, rng):
-        """cols/grid shard Y itself — a sparse sigmoid Y still densifies
-        before splitting (documented; rows is the big-Y layout)."""
+    def test_cols_layout_chunked_carrier(self, rng):
+        """Round 5 (VERDICT r04 #4): cols shards Y's rows with m — each
+        shard streams its LOCAL row slice through the chunked carrier; Z
+        consumes the transposed orientation (psummed over the m shards),
+        V's Y-term the forward one. Oracle = the single-device dense-Y
+        fit."""
         X, Yd, Ys, inits = _problem(rng)
+        md = _fit(X, Yd, inits)
+        ms = _fit(X, _NoDensify(Ys), inits, sparse_mode="chunked",
+                  n_shards=8, shard_layout="cols")
+        _assert_match(md, ms)
+
+    def test_grid_layout_chunked_carrier(self, rng):
+        """Same carrier on the 2-D grid: Y's row slices are COL-sharded,
+        replicated over ROW."""
+        X, Yd, Ys, inits = _problem(rng)
+        md = _fit(X, Yd, inits)
+        ms = _fit(X, _NoDensify(Ys), inits, sparse_mode="chunked",
+                  n_shards=(2, 4), shard_layout="grid")
+        _assert_match(md, ms)
+
+    def test_cols_small_sparse_y_device_densifies(self, rng):
+        """Below the threshold under 'auto' the cols layout keeps the
+        dense fast path but densifies ON DEVICE (scatter_densify) — no
+        dense Y on the host even then."""
+        X, Yd, Ys, inits = _problem(rng, r=8)
         md = _fit(X, Yd, inits, n_shards=8, shard_layout="cols")
-        ms = _fit(X, Ys, inits, n_shards=8, shard_layout="cols")
+        ms = _fit(X, _NoDensify(Ys), inits, n_shards=8,
+                  shard_layout="cols")
         _assert_match(md, ms, rtol=1e-12)
+
+    def test_cols_sampled_chunked_y(self, rng):
+        """Stochastic Newton on the cols chunked-Y carrier draws the
+        same per-shard masks as the dense-Y sharded fit."""
+        X, Yd, Ys, inits = _problem(rng)
+        md = _fit(X, Yd, inits, n_shards=8, shard_layout="cols",
+                  sg_sample_ratio=0.5)
+        ms = _fit(X, _NoDensify(Ys), inits, sparse_mode="chunked",
+                  n_shards=8, shard_layout="cols", sg_sample_ratio=0.5)
+        _assert_match(md, ms)
