@@ -144,7 +144,16 @@ def main() -> None:
         one completion wait, per-fit = total / n_pipe. The device-side
         work (full tol-checked while_loop fit from the same inits) is
         unchanged and NOT shared across the repeats. Single-dispatch
-        min-of-3 is still logged alongside for comparison."""
+        min-of-3 is still logged alongside for comparison.
+
+        Completion is forced by FETCHING a scalar (n_iter) from every
+        dispatch, not by ``block_until_ready``: on this tunneled axon
+        platform ``block_until_ready`` returns without blocking (measured
+        0.1 ms against a 343 ms real compute, round 5 — same lesson as
+        benchmarks/tune_fused_mu.py round 2), which would silently drop
+        up to one full fit from the timed region. The async host copies
+        are started for all outputs before the first wait so the sync
+        costs ~one link RTT total, amortized over n_pipe fits."""
         from pycmf_tpu.solvers import mu as _mu
         from pycmf_tpu.solvers import newton as _nt
 
@@ -158,10 +167,18 @@ def main() -> None:
             return fitf(Xc, Yc, Ud, Vd, Zd, hyperd, rng_arg, tol_s,
                         max_iter, eval_every)
 
-        jax.block_until_ready(one())  # warm (compile via cache)
+        def sync(outs):
+            # real completion barrier: overlap the tiny n_iter copies,
+            # then fetch each (block_until_ready is a no-op here)
+            for o in outs:
+                if hasattr(o[3], "copy_to_host_async"):
+                    o[3].copy_to_host_async()
+            return [int(o[3]) for o in outs]
+
+        sync([one()])  # warm (compile via cache)
         t0 = time.perf_counter()
         outs = [one() for _ in range(n_pipe)]
-        jax.block_until_ready(outs)
+        sync(outs)
         return (time.perf_counter() - t0) / n_pipe
 
     def timed_best(solver, cfg, max_iter, tol, eval_every, ref_loss):

@@ -13,6 +13,14 @@ toggled; differences attribute per-factor cost. Anchors: one raw bf16
 X pass (the HBM floor) and the batched k x k Cholesky solve at V's row
 count (the V update's only O(m k^2) non-matmul piece).
 
+Timing protocol (round-5 fix): on this tunneled axon platform
+``block_until_ready`` does NOT block (0.1 ms vs a 343 ms real compute),
+and a scalar fetch costs one ~27 ms link RTT — comparable to the ~2 ms
+signal. So each variant is timed at TWO loop lengths (R1/R2 iterations
+inside one jitted fori_loop, completion forced by fetching a 1x1 slice)
+and the per-iteration cost is the SLOPE (t2 - t1) / (R2 - R1), which
+cancels the constant dispatch + RTT overhead exactly.
+
 Results land in docs/PERFORMANCE.md ("Newton per-iteration
 decomposition").
 """
@@ -34,17 +42,31 @@ except Exception:  # noqa: BLE001
 
 K = 20
 SEED = 0
-REPS = 20
+R1, R2 = 10, 60
 
 
-def timed(fn, *args):
-    out = jax.block_until_ready(fn(*args))
+def fetch(out):
+    """Force real completion: device_get a 1x1 slice of the first leaf."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
+
+def timed_at(fn, *args, reps=5):
+    """min seconds of fn(*args) with a real completion fetch inside."""
+    fetch(fn(*args))  # warm
     ts = []
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts) / REPS, out
+    return min(ts)
+
+
+def timed(make_fn, *args):
+    """Per-iteration seconds via the two-length slope (RTT cancels)."""
+    t1 = timed_at(make_fn(R1), *args)
+    t2 = timed_at(make_fn(R2), *args)
+    return (t2 - t1) / (R2 - R1), (t1, t2)
 
 
 def main():
@@ -75,16 +97,19 @@ def main():
     def make_loop(cfg):
         step = make_newton_step(cfg)
 
-        @jax.jit
-        def loop(Xc, Yc, U, V, Z, hyper, key):
-            def body(i, c):
-                u, v, z = c
-                u, v, z = step(Xc, Yc, u, v, z, hyper,
-                               jax.random.fold_in(key, i))
-                return (u, v, z)
-            return jax.lax.fori_loop(0, REPS, body, (U, V, Z))
+        def at_reps(reps):
+            @jax.jit
+            def loop(Xc, Yc, U, V, Z, hyper, key):
+                def body(i, c):
+                    u, v, z = c
+                    u, v, z = step(Xc, Yc, u, v, z, hyper,
+                                   jax.random.fold_in(key, i))
+                    return (u, v, z)
+                return jax.lax.fori_loop(0, reps, body, (U, V, Z))
 
-        return loop
+            return loop
+
+        return at_reps
 
     base = dict(y_link="sigmoid", use_pallas=use_pallas)
     variants = [
@@ -95,9 +120,10 @@ def main():
     ]
     times = {}
     for name, cfg in variants:
-        sec, _ = timed(make_loop(cfg), Xc, Yc, U, V, Z, hyper, key)
+        sec, raw = timed(make_loop(cfg), Xc, Yc, U, V, Z, hyper, key)
         times[name] = sec
-        print(f"{name:24s}: {sec * 1e3:7.3f} ms/iter", flush=True)
+        print(f"{name:24s}: {sec * 1e3:7.3f} ms/iter "
+              f"(t@{R1}={raw[0]:.3f}s t@{R2}={raw[1]:.3f}s)", flush=True)
     print(f"{'Z attribution (U+Z - U)':24s}: "
           f"{(times['U+Z'] - times['U only']) * 1e3:7.3f} ms", flush=True)
     print(f"{'V attribution (full-U-Z)':24s}: "
@@ -109,14 +135,18 @@ def main():
     # ---- anchors ---------------------------------------------------------
     Xd = Xc.A  # dense bf16 device copy
 
-    @jax.jit
-    def raw_pass(Xd, Vd):
-        def body(_, acc):
-            return acc + jnp.dot(Xd, Vd, preferred_element_type=jnp.float32)
-        return jax.lax.fori_loop(0, REPS, body,
-                                 jnp.zeros((n, K), jnp.float32))
+    def make_raw_pass(reps):
+        @jax.jit
+        def raw_pass(Xd, Vd):
+            def body(_, acc):
+                return acc + jnp.dot(Xd, Vd,
+                                     preferred_element_type=jnp.float32)
+            return jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros((n, K), jnp.float32))
 
-    sec, _ = timed(raw_pass, Xd, V.astype(dd))
+        return raw_pass
+
+    sec, _ = timed(make_raw_pass, Xd, V.astype(dd))
     print(f"{'raw one-pass XV bf16':24s}: {sec * 1e3:7.3f} ms/iter "
           f"({n * m * 2 / sec / 1e9:.0f} GB/s)", flush=True)
 
@@ -125,14 +155,17 @@ def main():
     Hb = jnp.tile((jnp.eye(K) * 3.0 + 0.1)[None], (m, 1, 1))
     Gb = jnp.asarray(np.random.RandomState(0).randn(m, K), jnp.float32)
 
-    @jax.jit
-    def solve_loop(Hb, Gb):
-        def body(_, acc):
-            return acc + batched_spd_solve(Hb, Gb)
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros_like(Gb))
+    def make_solve_loop(reps):
+        @jax.jit
+        def solve_loop(Hb, Gb):
+            def body(_, acc):
+                return acc + batched_spd_solve(Hb, Gb)
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(Gb))
+
+        return solve_loop
 
     try:
-        sec, _ = timed(solve_loop, Hb, Gb)
+        sec, _ = timed(make_solve_loop, Hb, Gb)
         print(f"{'batched solve (m,k,k)':24s}: {sec * 1e3:7.3f} ms/iter",
               flush=True)
     except Exception as e:  # noqa: BLE001
