@@ -62,10 +62,13 @@ def main() -> None:
             run()
             ts.append(time.perf_counter() - t0)
         t = min(ts)
+        # divide by the iterations actually RUN: tol=0.0 still stops on a
+        # non-positive relative change, and bf16-noise trajectories can
+        # trip it before MAX_ITER (observed: strips-bf16 stopping at 70)
+        n_it = int(out[3])
         print(f"{label:28s}: {t * 1e3:7.1f} ms  "
-              f"({t / MAX_ITER * 1e3:.2f} ms/iter)  "
-              f"final_loss={out[5][-1] if isinstance(out[5], list) else ''}"
-              f" losses={out[4][-1]:.6g}", flush=True)
+              f"({t / max(1, n_it) * 1e3:.2f} ms/iter over {n_it} it)  "
+              f"loss={out[4][-1]:.6g}", flush=True)
         return t
 
     Yc = as_coupled(Y, jnp.bfloat16)

@@ -23,15 +23,23 @@ one-hot matrices, with every operand VMEM-resident:
   ((m_tiles, KP, T) and (n_blocks, KP, R) stacks, dynamically indexed on
   the leading dim — no lane-dim dynamic slicing), so the kernel streams
   ONLY the packed nonzeros: ~32·pad bytes/nnz instead of a dense pass.
-- Measured at the 20NG shape (30000×11314, 873k nnz, KP=32):
-  0.65–0.76 Gnnz/s across (R, T, E) configs — ~13× the segment-sum
-  floor; both MU passes ≈ the fused-dense bf16 one-pass time while
-  storing 30 MB instead of 680 MB (benchmarks/probe_onehot_spmm*.py).
+- Measured at the 20NG shape (30000×11314, 873k nnz, KP=32), round-5
+  sound-barrier timing (the round-4 Gnnz/s figures rode a
+  `block_until_ready` that does not block on this platform): end-to-end
+  MU on strips runs **2.5–2.7 ms/iter — stable across sessions because
+  the pass is VPU-bound — vs 1.6–2.4 ms/iter fused-dense (HBM-bound,
+  swings with achieved bandwidth) and ~20 ms/iter segment-sum**
+  (benchmarks/probe_onehot_mu.py, two draws). The kernel does NOT beat
+  the fused dense pass where dense fits; its regime is scattered
+  sparsity past the densify threshold, at 7.5–10× the segment-sum
+  floor and 30 MB of HBM instead of 680 MB.
 
-Cost model per nonzero (pad p = S·E/nnz): VPU ≈ 3p(T+R)/1024 cycles
-(compare+select+convert for both one-hots), MXU ≈ p(T+R)·KP/16384 f32
-MACs — measured flat ~1.2 ms/pass at 20NG across configs, i.e. roughly
-the VPU bound with MXU overlapped.
+Cost model per nonzero (pad p = S·E/nnz): VPU ≈ 2p(T+R)/1024 cycles
+(compare + bool→dtype convert for both UNWEIGHTED one-hots; values are
+applied at the ~60× smaller (KP, E) intermediate — the round-5 "uw"
+construction, measured 1.3–1.7× over the weighted-one-hot form in the
+same session, probe_onehot_spmm5), MXU ≈ p(T+R)·KP/16384 f32 MACs —
+the pass is the VPU bound with the MXU overlapped.
 
 There is no reference analogue (the reference's sparse path is scipy
 spmm, SURVEY.md §2 component 3); this layer is mandated by the build's
@@ -240,19 +248,24 @@ def _make_kernel(R, T, E, G, dot_dt, prec):
             val = packed[0, :]
             rl = jax.lax.bitcast_convert_type(packed[1, :], jnp.int32)
             cl = jax.lax.bitcast_convert_type(packed[2, :], jnp.int32)
-            cone = jnp.where(
-                cl[None, :] == jax.lax.broadcasted_iota(
-                    jnp.int32, (T, E), 0),
-                val[None, :], jnp.zeros((), jnp.float32)).astype(dot_dt)
+            # UNWEIGHTED one-hots + val at the (KP, E) intermediate
+            # (round 5): building a weighted one-hot costs ~3 VPU
+            # ops/element over (T, E) (compare + select(val broadcast) +
+            # convert); the unweighted form is 2 (compare + bool→dtype
+            # convert) and val multiplies the ~60× smaller Wt instead.
+            # Identical math: each strip column holds ONE nonzero, so
+            # (B·onehot)·val == B·(onehot·val) per column; padding slots
+            # carry val=0 and vanish either way. Measured 1.3–1.7×
+            # faster per pass (probe_onehot_spmm5, same-session A/B).
+            cone = (cl[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (T, E), 0)).astype(dot_dt)
             Wt = jax.lax.dot_general(
                 bt_ref[st_ref[i]].astype(dot_dt), cone,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
-            rone = jnp.where(
-                rl[:, None] == jax.lax.broadcasted_iota(
-                    jnp.int32, (E, R), 1),
-                jnp.ones((), jnp.float32),
-                jnp.zeros((), jnp.float32)).astype(dot_dt)
+            Wt = Wt * val[None, :]
+            rone = (rl[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (E, R), 1)).astype(dot_dt)
             out_ref[sb_ref[i]] += jax.lax.dot_general(
                 Wt.astype(dot_dt), rone, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
@@ -278,19 +291,16 @@ def _make_t_kernel(R, T, E, G, dot_dt, prec):
             val = packed[0, :]
             rl = jax.lax.bitcast_convert_type(packed[1, :], jnp.int32)
             cl = jax.lax.bitcast_convert_type(packed[2, :], jnp.int32)
-            roneT = jnp.where(
-                rl[None, :] == jax.lax.broadcasted_iota(
-                    jnp.int32, (R, E), 0),
-                val[None, :], jnp.zeros((), jnp.float32)).astype(dot_dt)
+            # unweighted + val-at-intermediate, as in the forward kernel
+            roneT = (rl[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (R, E), 0)).astype(dot_dt)
             Wt = jax.lax.dot_general(
                 ut_ref[sb_ref[i]].astype(dot_dt), roneT,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
-            coneT = jnp.where(
-                cl[:, None] == jax.lax.broadcasted_iota(
-                    jnp.int32, (E, T), 1),
-                jnp.ones((), jnp.float32),
-                jnp.zeros((), jnp.float32)).astype(dot_dt)
+            Wt = Wt * val[None, :]
+            coneT = (cl[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (E, T), 1)).astype(dot_dt)
             out_ref[st_ref[i]] += jax.lax.dot_general(
                 Wt.astype(dot_dt), coneT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)

@@ -43,8 +43,11 @@ _DEFAULTS_TPU = {
     "spmm_tiled": False,
     "bell_spmm": True,
     # One-hot strip SpMM for SCATTERED sparsity (ops/pallas/onehot.py):
-    # ~13× the segment-sum floor at 20NG density, measured 0.65-0.76
-    # Gnnz/s (probe_onehot_spmm3.py). Engaged when BlockEll refuses.
+    # 7.5-10× the segment-sum floor at 20NG density (end-to-end MU
+    # 2.5-2.7 vs ~20 ms/iter, probe_onehot_mu.py, round-5 sound-barrier
+    # timing). Engaged when BlockEll refuses; below the densify
+    # threshold the fused dense pass stays faster (1.6-2.4 ms/iter) —
+    # this layout's regime is doesn't-fit scattered sparsity.
     "onehot_spmm": True,
 }
 
