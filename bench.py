@@ -237,6 +237,7 @@ def main() -> None:
                 # headline time — that stays a primary-dtype number
                 best = t
                 info = {"dtype": name, "n_iter": int(n_iter),
+                        "t_single": t_single,
                         "x_item": jnp.dtype(dd).itemsize,
                         "y_item": jnp.dtype(dd).itemsize}
             if dd != jnp.float8_e4m3fn and gap <= QUALITY_BAR:
@@ -247,14 +248,21 @@ def main() -> None:
         return best, info
 
     # Data-pass counts per iteration for the utilization fields (the
-    # workload is HBM-bandwidth-bound; docs/PERFORMANCE.md "Roofline"):
-    # MU streams X ONCE per iteration (the fused U-pass emits XV and
-    # accumulates XᵀU_new in the same pass) and Y once; the bench Newton
-    # mix (linear X, sigmoid Y) streams X twice (fused U G/H+φ pass;
-    # V's linear XᵀU term — φ is factored) and Y four times (G/H + φ
-    # passes for each of V's Y-term and Z). Eval points add no passes
-    # (factored linear aux; accepted-candidate φ for sigmoid).
-    PASSES = {"mu": (1.0, 1.0), "newton": (2.0, 4.0)}
+    # workload is HBM-bandwidth-bound on X; docs/PERFORMANCE.md
+    # "Roofline"): MU streams X ONCE per iteration (the fused U-pass
+    # emits XV and accumulates XᵀU_new in the same pass) and Y once.
+    # The bench Newton mix (linear X, sigmoid Y) ALSO streams X exactly
+    # once — the fused linear U-pass's XᵀU_new/gramU accumulators feed
+    # V's X-term (gradient AND factored line-search φ), so V never
+    # re-reads X — plus ~4 passes over the tiny Y (G/H + φ for each of
+    # V's Y-term and Z; 0.26% of X's bytes). Round-5 fix: this entry
+    # previously said (2.0, 4.0), overstating Newton's bytes/GB/s 2×;
+    # the honest consequence is that Newton is NOT bandwidth-bound —
+    # roughly half its iteration is per-row V/Z update compute (see
+    # PERFORMANCE.md "Newton per-iteration decomposition"). Eval points
+    # add no passes (factored linear aux; accepted-candidate φ for
+    # sigmoid).
+    PASSES = {"mu": (1.0, 1.0), "newton": (1.0, 4.0)}
     HBM_SPEC_GBPS = 819.0  # v5e (v5 lite) HBM spec
 
     def util_fields(solver, t, inf):
@@ -302,12 +310,14 @@ def main() -> None:
 
     mu_vs_f64 = None
     util = {}
+    single_x = {}
     cfg_mu = SolverConfig(use_pallas=(backend == "tpu"))
     best, inf = timed_best("mu", cfg_mu, MAX_ITER, TOL, EVAL_EVERY,
                            hist_np[-1])
     if best is not None:
         speedups["mu"] = t_np_mu32 / best
         mu_vs_f64 = t_np_mu64 / best
+        single_x["mu"] = t_np_mu32 / inf["t_single"]
         util.update(util_fields("mu", best, inf))
         log(f"mu vs f64 side baseline: {mu_vs_f64:.2f}x")
     else:
@@ -331,6 +341,7 @@ def main() -> None:
                            NEWTON_EVAL, hist_nn[-1])
     if best is not None:
         speedups["newton"] = t_np_nt / best
+        single_x["newton"] = t_np_nt / inf["t_single"]
         util.update(util_fields("newton", best, inf))
     else:
         log("Newton quality guard failed for all dtypes")
@@ -358,6 +369,14 @@ def main() -> None:
         "mu_vs_f64_x": round(mu_vs_f64, 2) if mu_vs_f64 else None,
         "mu_pass": speedups.get("mu", 0.0) >= BAR,
         "newton_pass": speedups.get("newton", 0.0) >= BAR,
+        # Single-dispatch speedups + pass flags (VERDICT r04 weak #5): the
+        # headline takes min(single, pipelined/4), but the bar must hold
+        # WITHOUT the pipelined protocol — these fields prove it in the
+        # artifact itself rather than in stderr logs.
+        "mu_single_x": round(single_x.get("mu", 0.0), 2),
+        "newton_single_x": round(single_x.get("newton", 0.0), 2),
+        "mu_single_pass": single_x.get("mu", 0.0) >= BAR,
+        "newton_single_pass": single_x.get("newton", 0.0) >= BAR,
         # Absolute TPU-side utilization (VERDICT r04 #6): ms/iter at the
         # winning dtype, per-iteration data-pass bytes (pass counts in
         # PASSES above), achieved GB/s and fraction of the 819 GB/s v5e

@@ -26,6 +26,7 @@ decomposition").
 """
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -111,8 +112,14 @@ def main():
 
         return at_reps
 
+    import os
+
     base = dict(y_link="sigmoid", use_pallas=use_pallas)
-    variants = [
+    if os.environ.get("PYCMF_PROBE_ANCHORS_ONLY", "0") == "1":
+        variants = [("full step (bench mix)", SolverConfig(**base))]
+    else:
+        variants = None
+    variants = variants if variants is not None else [
         ("full step (bench mix)", SolverConfig(**base)),
         ("U only", SolverConfig(**base, update_V=False, update_Z=False)),
         ("U+Z", SolverConfig(**base, update_V=False)),
@@ -124,22 +131,36 @@ def main():
         times[name] = sec
         print(f"{name:24s}: {sec * 1e3:7.3f} ms/iter "
               f"(t@{R1}={raw[0]:.3f}s t@{R2}={raw[1]:.3f}s)", flush=True)
-    print(f"{'Z attribution (U+Z - U)':24s}: "
-          f"{(times['U+Z'] - times['U only']) * 1e3:7.3f} ms", flush=True)
-    print(f"{'V attribution (full-U-Z)':24s}: "
-          f"{(times['full step (bench mix)'] - times['U+Z']) * 1e3:7.3f} ms",
-          flush=True)
-    print(f"{'V attribution (U+V - U)':24s}: "
-          f"{(times['U+V'] - times['U only']) * 1e3:7.3f} ms", flush=True)
+    if "U+Z" in times:
+        print(f"{'Z attribution (U+Z - U)':24s}: "
+              f"{(times['U+Z'] - times['U only']) * 1e3:7.3f} ms", flush=True)
+        print(f"{'V attribution (full-U-Z)':24s}: "
+              f"{(times['full step (bench mix)'] - times['U+Z']) * 1e3:7.3f}"
+              f" ms", flush=True)
+        print(f"{'V attribution (U+V - U)':24s}: "
+              f"{(times['U+V'] - times['U only']) * 1e3:7.3f} ms", flush=True)
 
     # ---- anchors ---------------------------------------------------------
+    # NB on the toggle variants above: with update_V=False the U update's
+    # DB = X·V is LOOP-INVARIANT (V frozen) and XLA hoists it out of the
+    # fori_loop — "U only" / "U+Z" therefore measure the per-row work
+    # minus the X pass, NOT a real per-iteration cost. Only variants where
+    # V updates (U+V, full) stream X every iteration. The anchors below
+    # carry the loop state INTO the data pass so nothing can hoist.
     Xd = Xc.A  # dense bf16 device copy
 
     def make_raw_pass(reps):
         @jax.jit
         def raw_pass(Xd, Vd):
             def body(_, acc):
-                return acc + jnp.dot(Xd, Vd,
+                # acc[0, 0] is exactly 0 on every iteration, but XLA
+                # cannot prove it: the data dependence forces the dot to
+                # re-execute per iteration instead of being hoisted (the
+                # first probe version measured a -0.011 ms/iter slope —
+                # the loop-invariant dot had been folded away entirely).
+                vc = (Vd.astype(jnp.float32) * (1.0 + acc[:1, :1] * 0.0)
+                      ).astype(Vd.dtype)
+                return acc + jnp.dot(Xd, vc,
                                      preferred_element_type=jnp.float32)
             return jax.lax.fori_loop(0, reps, body,
                                      jnp.zeros((n, K), jnp.float32))
@@ -150,6 +171,36 @@ def main():
     print(f"{'raw one-pass XV bf16':24s}: {sec * 1e3:7.3f} ms/iter "
           f"({n * m * 2 / sec / 1e9:.0f} GB/s)", flush=True)
 
+    # True cost of the fused Newton linear U-pass (the bench mix's ONLY
+    # X pass — its XᵀU_new/gramU accumulators feed the V update): a
+    # pallas_call is opaque to XLA, and U_new feeds back, so every
+    # iteration streams X.
+    from pycmf_tpu.solvers.newton import shared_gauss_hinv
+    from pycmf_tpu.ops.pallas.newton_fused import fused_newton_linear_u_pass
+
+    BtB, Hinv, l1, l2 = shared_gauss_hinv(V, hyper)
+
+    def make_fused_loop(reps, batched=False):
+        @jax.jit
+        def fused_loop(Xd, U, V, BtB, Hinv, rsq):
+            def body(_, u):
+                unew, numv, gramu = fused_newton_linear_u_pass(
+                    Xd, u, V, BtB, Hinv, rsq, l1, l2,
+                    trials=8, non_negative=True, batched_trials=batched)
+                # touch the accumulators so they aren't dead-code-eliminated
+                return unew + 0.0 * (numv[:1, :1] + gramu[0, 0])
+            return jax.lax.fori_loop(0, reps, body, U)
+
+        return fused_loop
+
+    # same-session A/B: unrolled per-candidate dots vs one batched dot
+    for tag, batched in [("fused U-pass (unroll)", False),
+                         ("fused U-pass (batched)", True)]:
+        sec, _ = timed(partial(make_fused_loop, batched=batched),
+                       Xd, U, V, BtB, Hinv, Xc.row_sq)
+        print(f"{tag:24s}: {sec * 1e3:7.3f} ms/iter "
+              f"({n * m * 2 / sec / 1e9:.0f} GB/s)", flush=True)
+
     from pycmf_tpu.ops.pallas.batched_solve import batched_spd_solve
 
     Hb = jnp.tile((jnp.eye(K) * 3.0 + 0.1)[None], (m, 1, 1))
@@ -159,7 +210,10 @@ def main():
         @jax.jit
         def solve_loop(Hb, Gb):
             def body(_, acc):
-                return acc + batched_spd_solve(Hb, Gb)
+                # thread acc into the operand (same hoisting trap as the
+                # raw-pass anchor: a loop-invariant solve measured a
+                # NEGATIVE slope once XLA lifted it out of the loop)
+                return acc + batched_spd_solve(Hb, Gb + 0.0 * acc)
             return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(Gb))
 
         return solve_loop

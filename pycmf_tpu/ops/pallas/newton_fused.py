@@ -42,7 +42,7 @@ from .mu_fused import _TILE_BUDGET_BYTES, _interp, _pick_row_tile
 
 def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
             rsq_ref, unew_ref, numvt_ref, gramu_ref, numvt_acc, gramu_acc,
-            *, trials: int, non_negative: bool):
+            *, trials: int, non_negative: bool, batched_trials: bool):
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
     l1 = scal_ref[0, 0]
@@ -81,6 +81,47 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
 
     if trials <= 0:
         unew = project(u - d)
+    elif batched_trials:
+        rs = rsq_ref[:, 0]              # (R,)
+
+        # ALL candidates' φ in ONE batched MXU dot: the unrolled form
+        # below issues `trials`+1 sequential (R, k) × (k, k) dots; this
+        # form stacks the candidates into one ((trials+1)·R, k) × (k, k)
+        # dot. Per-row results are bit-identical (same contraction, same
+        # precision, rows independent), so the accepted step — and the
+        # trajectory — cannot change. Slot 0 is φ(u) UNPROJECTED,
+        # matching the unrolled form. MEASURED SLOWER on v5e at the 20NG
+        # shape (1.57 vs 1.46 ms/iter fused-pass anchor — the 3D
+        # relayouts cost more than the dot serialization they remove;
+        # see docs/PERFORMANCE.md "Newton per-iteration decomposition"),
+        # kept as a measured negative result and A/B hook.
+        nt = trials + 1
+        rr, k = u.shape
+        # steps 1, ½, ¼, … built in-kernel (a host-side jnp.array would be
+        # a captured constant, which pallas_call rejects). 1 / (1 << j) is
+        # exact in every float dtype, unlike a VPU exp2 approximation.
+        pw = jax.lax.broadcasted_iota(jnp.int32, (trials, 1, 1), 0)
+        steps = 1.0 / jnp.left_shift(1, pw).astype(acc)
+        mc_all = jnp.concatenate(
+            [u[None], project(u[None] - steps * d[None])], axis=0)
+        mc_flat = mc_all.reshape(nt * rr, k)
+        quad = jnp.sum(
+            jnp.dot(mc_flat, btb, preferred_element_type=acc,
+                    precision=fprec) * mc_flat, axis=1).reshape(nt, rr)
+        lin = jnp.sum(db[None] * mc_all, axis=2)
+        pen = l1 * jnp.sum(jnp.abs(mc_all), axis=2) \
+            + 0.5 * l2 * jnp.sum(mc_all * mc_all, axis=2)
+        phis = pen + 0.5 * (rs[None] - 2.0 * lin + quad)   # (nt, R)
+
+        phi0 = phis[0]
+        best = u
+        taken = jnp.zeros(phi0.shape, jnp.bool_)
+        for j in range(trials):         # selection only — no dots left
+            take = jnp.logical_and(jnp.logical_not(taken),
+                                   phis[j + 1] < phi0)
+            best = jnp.where(take[:, None], mc_all[j + 1], best)
+            taken = jnp.logical_or(taken, take)
+        unew = best
     else:
         rs = rsq_ref[:, 0]              # (R,)
 
@@ -137,7 +178,8 @@ def _kernel(scal_ref, nv_ref, x_ref, u_ref, vtx_ref, btb_ref, hinv_ref,
 
 def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
                                trials: int, non_negative: bool,
-                               row_tile: int | None = None):
+                               row_tile: int | None = None,
+                               batched_trials: bool = False):
     """One-X-pass Newton update of U (linear link, shared Hessian).
 
     X: (n, m) dense (f32/bf16); U: (n, k) f32; V: (m, k) f32;
@@ -163,7 +205,8 @@ def fused_newton_linear_u_pass(X, U, V, BtB, Hinv, row_sq, l1, l2, *,
     acc_dt = jnp.float64 if fdtype == jnp.float64 else jnp.float32
 
     unew, numvt, gramu = pl.pallas_call(
-        partial(_kernel, trials=int(trials), non_negative=bool(non_negative)),
+        partial(_kernel, trials=int(trials), non_negative=bool(non_negative),
+                batched_trials=bool(batched_trials)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -334,6 +334,27 @@ class TestFusedNewtonUPass:
         assert np.allclose(numv, X.T @ Un, rtol=1e-9, atol=1e-11)
         assert np.allclose(gramu, Un.T @ Un, rtol=1e-9, atol=1e-11)
 
+    @pytest.mark.parametrize("trials,nonneg", [(8, True), (8, False),
+                                               (3, True)])
+    def test_batched_trials_matches_unrolled(self, rng, trials, nonneg):
+        """batched_trials=True stacks all line-search candidates into one
+        MXU dot; per-row math is identical, so the selected update and the
+        accumulators must match the unrolled form to fp round-off. (The
+        batched form measured SLOWER on v5e and is OFF by default — this
+        pins the A/B hook stays correct.)"""
+        from pycmf_tpu.ops.pallas.newton_fused import \
+            fused_newton_linear_u_pass
+
+        n, m, k = 67, 45, 5
+        X, U, V, hyper, row_sq, BtB, Hinv = self._operands(rng, n, m, k)
+        l1 = hyper.alpha * hyper.l1_ratio
+        l2 = hyper.alpha * (1.0 - hyper.l1_ratio)
+        outs = [fused_newton_linear_u_pass(
+            X, U, V, BtB, Hinv, row_sq, l1, l2, trials=trials,
+            non_negative=nonneg, batched_trials=b) for b in (False, True)]
+        for a, b in zip(outs[0], outs[1]):
+            assert np.allclose(a, b, rtol=1e-12, atol=1e-13)
+
     def test_divisible_rows_no_padding(self, rng):
         from pycmf_tpu.ops.pallas.newton_fused import \
             fused_newton_linear_u_pass
